@@ -1,0 +1,194 @@
+"""Tests for ops/: image primitives, rasterization, patches, k-NN.
+
+Where a host-side oracle exists (PIL, torch.unfold, sklearn, scipy) the
+on-device op is validated against it.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ssad_tpu.ops import image as im
+from ssad_tpu.ops import knn, patches, rasterize
+
+
+class TestImageOps:
+    def test_normalize_roundtrip(self, rng):
+        x = jnp.asarray(rng.random((16, 16, 3), dtype=np.float32))
+        y = im.denormalize_imagenet(im.normalize_imagenet(x))
+        np.testing.assert_allclose(y, x, atol=1e-5)
+
+    def test_gaussian_blur_matches_torchvision_semantics(self, rng):
+        # oracle: scipy separable gaussian with reflect(101) boundaries
+        from scipy.ndimage import correlate1d
+
+        x = rng.random((32, 32), dtype=np.float32)
+        sigma = im.torchvision_default_sigma(7)
+        k = np.asarray(im._gaussian_kernel1d(7, sigma))
+        ref = correlate1d(x, k, axis=0, mode="mirror")
+        ref = correlate1d(ref, k, axis=1, mode="mirror")
+        out = im.gaussian_blur(jnp.asarray(x), ksize=7)
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+    def test_blur_shapes(self, rng):
+        x = jnp.asarray(rng.random((2, 16, 16, 3), dtype=np.float32))
+        assert im.gaussian_blur(x, 7).shape == x.shape
+        assert im.gaussian_blur(x[0], 7).shape == x[0].shape
+
+    def test_color_jitter_zero_is_identity(self, rng):
+        x = jnp.asarray(rng.random((8, 8, 3), dtype=np.float32)) * 0.5
+        y = im.color_jitter(jax.random.key(0), x, 0.0, 0.0, 0.0)
+        np.testing.assert_allclose(y, x, atol=1e-6)
+
+    def test_color_jitter_bounded(self, rng):
+        x = jnp.asarray(rng.random((8, 8, 3), dtype=np.float32))
+        for s in range(5):
+            y = im.color_jitter(jax.random.key(s), x, 0.1, 0.1, 0.1)
+            assert float(jnp.min(y)) >= 0.0 and float(jnp.max(y)) <= 1.0
+            assert not np.allclose(np.asarray(y), np.asarray(x), atol=1e-4)
+
+    def test_affine_identity(self, rng):
+        x = jnp.asarray(rng.random((16, 16, 3), dtype=np.float32))
+        y = im.affine_nearest(x, jnp.float32(0.0), jnp.float32(1.0))
+        np.testing.assert_allclose(y, x, atol=1e-6)
+
+    def test_affine_scale_shrinks_content(self):
+        x = jnp.zeros((33, 33, 1)).at[16, 16, 0].set(1.0)
+        # scale > 1 zooms in; the center pixel remains near the center
+        y = im.affine_nearest(x, jnp.float32(0.0), jnp.float32(1.1))
+        cy, cx = np.unravel_index(np.argmax(np.asarray(y)[..., 0]), (33, 33))
+        assert abs(cy - 16) <= 1 and abs(cx - 16) <= 1
+
+    def test_upsample_anomaly_maps(self, rng):
+        m = jnp.asarray(rng.random((2, 9, 9), dtype=np.float32))
+        out = im.upsample_anomaly_maps(m, 64)
+        assert out.shape == (2, 64, 64)
+        assert float(jnp.min(out)) >= 0.0
+
+    def test_color_cosine_similarity(self):
+        a = jnp.array([0.5, 0.5, 0.5])
+        assert float(im.color_cosine_similarity(a, a * 2)) == pytest.approx(1.0, abs=1e-6)
+        b = jnp.array([1.0, 0.0, 0.0])
+        c = jnp.array([0.0, 1.0, 0.0])
+        assert float(im.color_cosine_similarity(b, c)) == pytest.approx(0.0, abs=1e-6)
+
+
+class TestRasterize:
+    def test_polygon_matches_pil(self, rng):
+        from PIL import Image, ImageDraw
+
+        h = w = 48
+        for seed in range(4):
+            r = np.random.default_rng(seed)
+            # polygon points on the border of a 30x20 rect at offset (9, 14)
+            ox, oy, pw, ph = 9, 14, 30, 20
+            pts = [
+                (ox + 0, oy + r.integers(1, ph)),
+                (ox + r.integers(1, pw), oy + 0),
+                (ox + pw, oy + r.integers(1, ph)),
+                (ox + r.integers(1, pw), oy + ph),
+            ]
+            pil = Image.new("1", (w, h), 0)
+            ImageDraw.Draw(pil).polygon(pts, fill=1)
+            ref = np.asarray(pil, dtype=np.float32)
+
+            verts = np.zeros((8, 2), np.float32)
+            verts[:4] = np.asarray(pts, np.float32)
+            out = np.asarray(
+                rasterize.polygon_mask(jnp.asarray(verts), jnp.int32(4), (h, w))
+            )
+            inter = np.sum((out > 0) & (ref > 0))
+            union = np.sum((out > 0) | (ref > 0))
+            assert inter / union > 0.85, f"seed {seed}: IoU {inter/union}"
+
+    def test_polygon_vertex_padding(self):
+        # a triangle defined with num_vertices=3 out of MAX=8 slots
+        verts = np.zeros((8, 2), np.float32)
+        verts[:3] = [[4, 4], [28, 4], [16, 28]]
+        out = np.asarray(rasterize.polygon_mask(jnp.asarray(verts), jnp.int32(3), (32, 32)))
+        area = out.sum()
+        assert 200 < area < 360  # true area = 0.5*24*24 = 288
+
+    def test_polyline_width(self):
+        pts = np.zeros((8, 2), np.float32)
+        pts[:2] = [[4, 16], [28, 16]]
+        m = np.asarray(rasterize.polyline_mask(jnp.asarray(pts), jnp.int32(2), 3.0, (32, 32)))
+        col = m[:, 16]
+        assert col.sum() == 3  # rows 15,16,17
+        assert m[16, 10] == 1 and m[16, 2] == 0
+
+    def test_polyline_inactive_segments(self):
+        pts = np.zeros((8, 2), np.float32)
+        pts[:2] = [[4, 4], [8, 4]]
+        pts[2:] = [[30, 30]] * 6  # would draw elsewhere if active
+        m = np.asarray(rasterize.polyline_mask(jnp.asarray(pts), jnp.int32(2), 1.0, (32, 32)))
+        assert m[30, 30] == 0 and m[4, 6] == 1
+
+    def test_rotated_rect(self):
+        m0 = np.asarray(
+            rasterize.rotated_rect_mask(
+                jnp.array([16.0, 16.0]), jnp.float32(10), jnp.float32(6), jnp.float32(0.0), (32, 32)
+            )
+        )
+        # axis-aligned 10x6 rect (closed bounds → 11x7 pixels)
+        assert 60 <= m0.sum() <= 80
+        m45 = np.asarray(
+            rasterize.rotated_rect_mask(
+                jnp.array([16.0, 16.0]), jnp.float32(10), jnp.float32(6), jnp.float32(45.0), (32, 32)
+            )
+        )
+        assert 50 <= m45.sum() <= 90  # area preserved under rotation
+
+    def test_savgol_matches_scipy(self, rng):
+        from scipy.signal import savgol_filter
+
+        pts = rng.random((60, 2)).astype(np.float32) * 100
+        ref = savgol_filter(pts, 10, 2, axis=0)
+        out = np.asarray(rasterize.smooth_polyline(jnp.asarray(pts)))
+        np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-2)
+
+
+class TestPatches:
+    def test_matches_torch_unfold(self, rng):
+        import torch
+
+        x = rng.random((2, 24, 24, 3), dtype=np.float32)
+        ours = np.asarray(patches.extract_patches(jnp.asarray(x), dim=8, stride=4))
+        xt = torch.from_numpy(x).permute(0, 3, 1, 2)  # NCHW
+        p = xt.unfold(2, 8, 4).unfold(3, 8, 4)
+        p = p.reshape(2, 3, -1, 8, 8).permute(0, 2, 3, 4, 1)  # (B,P,h,w,C)
+        np.testing.assert_allclose(ours, p.numpy(), atol=1e-6)
+
+    def test_grid_side(self):
+        assert patches.grid_side(256, 32, 8) == 29  # 841 patches
+        assert patches.grid_side(256, 32, 4) == 57  # 3249 patches
+
+
+class TestKnn:
+    def test_matches_sklearn(self, rng):
+        from sklearn.neighbors import NearestNeighbors
+
+        bank = rng.random((200, 64), dtype=np.float32)
+        q = rng.random((50, 64), dtype=np.float32)
+        nbrs = NearestNeighbors(n_neighbors=3, metric="cosine").fit(bank)
+        ref = nbrs.kneighbors(q)[0].mean(axis=1)
+        out = np.asarray(knn.knn_cosine_scores_xla(jnp.asarray(q), jnp.asarray(bank), k=3))
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    def test_pallas_interpret_matches_xla(self, rng):
+        # run the pallas kernel in interpreter mode on CPU
+        from jax.experimental.pallas import tpu as pltpu
+
+        bank = jnp.asarray(rng.random((100, 32), dtype=np.float32))
+        q = jnp.asarray(rng.random((40, 32), dtype=np.float32))
+        ref = knn.knn_cosine_scores_xla(q, bank, k=3)
+        with pltpu.force_tpu_interpret_mode():
+            out = knn.knn_cosine_scores_pallas(q, bank, k=3)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def test_exact_neighbor(self):
+        bank = jnp.eye(8, dtype=jnp.float32)
+        q = bank[:2]
+        scores = np.asarray(knn.knn_cosine_scores_xla(q, bank, k=1))
+        np.testing.assert_allclose(scores, 0.0, atol=1e-6)
