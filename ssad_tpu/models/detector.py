@@ -1,0 +1,96 @@
+"""AnomalyDetector: k-NN cosine scoring against a normal-embedding bank.
+
+Functional re-design of the reference's sklearn-backed detector
+(models.py:345-370): fit() splits the normality embeddings 70/30,
+indexes the train part, and calibrates the threshold as the *max* mean
+k-NN distance on the validation part (models.py:352-361 — note the
+reference's max is outlier-sensitive; kept for parity, with an optional
+quantile alternative).  predict() scores queries by mean cosine distance
+to the k nearest bank rows — one MXU matmul via ops/knn (the reference
+round-trips to sklearn on CPU per batch).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ssad_tpu.ops.knn import knn_cosine_scores, l2_normalize
+
+
+@dataclasses.dataclass
+class AnomalyDetector:
+    """k-NN cosine anomaly scorer.
+
+    patch_level / batch / num_patches mirror the reference constructor
+    (models.py:346-349): in patch mode predict() reshapes flat patch
+    scores to (B, 1, side, side) anomaly maps.
+    """
+
+    patch_level: bool = False
+    batch: Optional[int] = None
+    num_patches: Optional[int] = None
+    k: int = 3
+    #: 'max' reproduces the reference threshold rule (models.py:361);
+    #: 'quantile' uses the .99 quantile (robust to outliers)
+    threshold_rule: str = "max"
+
+    bank: Optional[jax.Array] = None  # (M, D) fitted normality bank
+    threshold: Optional[float] = None
+
+    def fit(self, embeddings: jax.Array, key: Optional[jax.Array] = None) -> "AnomalyDetector":
+        """Fit on normal embeddings: 70/30 split, threshold from val part.
+
+        The reference uses sklearn train_test_split with its global RNG
+        (models.py:353); randomness here is an explicit key.
+        """
+        emb = jnp.asarray(embeddings)
+        m = emb.shape[0]
+        if m < self.k + 1:
+            raise ValueError(
+                f"need at least k+1={self.k + 1} normality embeddings, got {m}"
+            )
+        if key is None:
+            key = jax.random.key(0)
+        perm = jax.random.permutation(key, m)
+        n_val = max(int(round(m * 0.3)), 1)
+        n_train = m - n_val
+        if n_train < self.k:
+            n_train, n_val = self.k, m - self.k
+        train = emb[perm[n_val:]] if n_train == m - n_val else emb[perm[-n_train:]]
+        val = emb[perm[:n_val]]
+
+        self.bank = train
+        val_scores = knn_cosine_scores(val, train, k=self.k)
+        if self.threshold_rule == "quantile":
+            self.threshold = float(jnp.quantile(val_scores, 0.99))
+        else:
+            self.threshold = float(jnp.max(val_scores))
+        return self
+
+    def predict(self, queries: jax.Array) -> jax.Array:
+        """Anomaly scores: mean cosine distance to the k nearest bank
+        rows.  Patch mode reshapes to (B, 1, side, side) maps
+        (models.py:363-370)."""
+        if self.bank is None:
+            raise RuntimeError("fit() before predict()")
+        scores = knn_cosine_scores(jnp.asarray(queries), self.bank, k=self.k)
+        if self.patch_level:
+            if not self.batch or not self.num_patches:
+                raise ValueError("patch mode needs batch and num_patches")
+            side = int(self.num_patches**0.5)
+            scores = scores.reshape(self.batch, 1, side, side)
+        return scores
+
+    def predict_labels(self, queries: jax.Array) -> jax.Array:
+        """Binary anomaly decision by the calibrated threshold."""
+        return (self.predict(queries) > self.threshold).astype(jnp.int32)
+
+
+def normalize_embeddings(embeddings: jax.Array) -> jax.Array:
+    """L2-normalize embeddings (the image-level evaluator normalizes
+    before scoring, reference evaluator.py:262-263)."""
+    return l2_normalize(jnp.asarray(embeddings))

@@ -1,0 +1,101 @@
+"""ResNet-18 backbone, TPU-native (NHWC, bf16-friendly, no hooks).
+
+The reference wraps torchvision's resnet18 and captures intermediate
+activations with forward hooks (models.py:58-62, :110-130).  Hooks are
+an imperative-graph idiom; here the apply function simply *returns* the
+multi-scale feature maps — functional, jit-friendly, and explicit.
+
+Layout is NHWC (channels-last): the TPU vector lane dimension maps to
+the trailing axis, and XLA's convolution emitters prefer NHWC on TPU.
+A converter for torchvision IMAGENET1K_V1 checkpoints (NCHW/OIHW) lives
+in utils/torch_weights.py.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+ModuleDef = Any
+
+
+class BasicBlock(nn.Module):
+    """Two 3×3 convs + identity/projection shortcut (ResNet v1 basic)."""
+
+    filters: int
+    strides: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        norm = lambda name: nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            name=name,
+        )
+        residual = x
+        y = nn.Conv(
+            self.filters, (3, 3), strides=(self.strides, self.strides),
+            padding=[(1, 1), (1, 1)], use_bias=False, dtype=self.dtype, name="conv1",
+        )(x)
+        y = norm("bn1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(
+            self.filters, (3, 3), strides=(1, 1),
+            padding=[(1, 1), (1, 1)], use_bias=False, dtype=self.dtype, name="conv2",
+        )(y)
+        y = norm("bn2")(y)
+        if residual.shape[-1] != self.filters or self.strides != 1:
+            residual = nn.Conv(
+                self.filters, (1, 1), strides=(self.strides, self.strides),
+                use_bias=False, dtype=self.dtype, name="downsample_conv",
+            )(residual)
+            residual = norm("downsample_bn")(residual)
+        return nn.relu(y + residual)
+
+
+class ResNet18(nn.Module):
+    """ResNet-18 returning pooled features + the multi-scale taps.
+
+    __call__ returns (pooled (B, 512), feats dict with 'layer1'..'layer4'
+    NHWC maps) — the explicit-return equivalent of the reference's
+    forward hooks on layer2/layer3 (models.py:123-129).
+    """
+
+    dtype: Any = jnp.float32
+    stage_sizes: Sequence[int] = (2, 2, 2, 2)
+    stage_filters: Sequence[int] = (64, 128, 256, 512)
+
+    @nn.compact
+    def __call__(self, x, train: bool = True) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+        x = x.astype(self.dtype)
+        x = nn.Conv(
+            64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+            use_bias=False, dtype=self.dtype, name="conv1",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name="bn1",
+        )(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+
+        feats: Dict[str, jax.Array] = {}
+        for stage, (num_blocks, filters) in enumerate(
+            zip(self.stage_sizes, self.stage_filters), start=1
+        ):
+            for block in range(num_blocks):
+                strides = 2 if stage > 1 and block == 0 else 1
+                x = BasicBlock(
+                    filters, strides=strides, dtype=self.dtype,
+                    name=f"layer{stage}_{block}",
+                )(x, train=train)
+            feats[f"layer{stage}"] = x
+
+        pooled = jnp.mean(x, axis=(1, 2))  # global average pool → (B, 512)
+        return pooled.astype(jnp.float32), feats

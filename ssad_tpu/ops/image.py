@@ -125,7 +125,9 @@ def adjust_brightness(img: jax.Array, factor: jax.Array) -> jax.Array:
 
 
 def adjust_contrast(img: jax.Array, factor: jax.Array) -> jax.Array:
-    mean = jnp.mean(_rgb_to_gray(img))
+    # accumulate the mean in f32 (a bf16-accumulated mean over 64k
+    # pixels loses most of its precision)
+    mean = jnp.mean(_rgb_to_gray(img), dtype=jnp.float32).astype(img.dtype)
     return jnp.clip(img * factor + mean * (1.0 - factor), 0.0, 1.0)
 
 
@@ -152,6 +154,9 @@ def color_jitter(
     fc = jax.random.uniform(kc, (), minval=max(0.0, 1 - contrast), maxval=1 + contrast)
     fs = jax.random.uniform(ks, (), minval=max(0.0, 1 - saturation), maxval=1 + saturation)
 
+    fb = fb.astype(img.dtype)
+    fc = fc.astype(img.dtype)
+    fs = fs.astype(img.dtype)
     ops = [
         lambda x: adjust_brightness(x, fb),
         lambda x: adjust_contrast(x, fc),
@@ -207,24 +212,98 @@ def affine_nearest(
     return jnp.where(valid[..., None], out, jnp.asarray(fill, img.dtype))
 
 
+def _shear(img: jax.Array, shift_per_line: jax.Array, axis: int, max_shift: int) -> jax.Array:
+    """Shear by integer per-row (axis=1 shifts columns) or per-column
+    (axis=0 shifts rows) offsets, zero-filled.
+
+    Implemented as an accumulate-select over the static shift range —
+    static rolls are fused VPU passes, whereas the equivalent
+    arbitrary-index gather serializes on the TPU scalar core.
+    """
+    n_lines = img.shape[0] if axis == 1 else img.shape[1]
+    line_axis = 0 if axis == 1 else 1
+    out = jnp.zeros_like(img)
+    size = img.shape[axis]
+    pos = jax.lax.broadcasted_iota(jnp.int32, img.shape[:2], axis)
+    for d in range(-max_shift, max_shift + 1):
+        shifted = jnp.roll(img, d, axis=axis)
+        valid = (pos - d >= 0) & (pos - d < size)  # zero fill, no wrap
+        sel = shift_per_line == d  # (n_lines,)
+        selb = jnp.expand_dims(sel, axis) if line_axis == 0 else sel[None, :]
+        out = jnp.where((selb & valid)[..., None], shifted, out)
+    return out
+
+
+def rotate_small_angle(img: jax.Array, angle_deg: jax.Array, max_degrees: float) -> jax.Array:
+    """Rotation about the center via the exact 3-shear decomposition
+    R(θ) = Shx(-tan θ/2) · Shy(sin θ) · Shx(-tan θ/2), integer shifts.
+
+    `max_degrees` (static) bounds the shift range so every shear is a
+    small unrolled roll-accumulate.
+    """
+    h, w = img.shape[0], img.shape[1]
+    theta = jnp.deg2rad(angle_deg)
+    a = -jnp.tan(theta / 2.0)
+    b = jnp.sin(theta)
+    max_t = math.tan(math.radians(max_degrees) / 2.0)
+    max_s = math.sin(math.radians(max_degrees))
+    cy = (h - 1) / 2.0
+    cx = (w - 1) / 2.0
+    rows = jnp.arange(h, dtype=jnp.float32) - cy
+    cols = jnp.arange(w, dtype=jnp.float32) - cx
+
+    sx1 = jnp.round(a * rows).astype(jnp.int32)  # column shift per row
+    sy = jnp.round(b * cols).astype(jnp.int32)  # row shift per column
+    mx = int(math.ceil(max_t * max(cy, cx))) + 1
+    my = int(math.ceil(max_s * max(cy, cx))) + 1
+
+    out = _shear(img, sx1, axis=1, max_shift=mx)
+    out = _shear(out, sy, axis=0, max_shift=my)
+    out = _shear(out, sx1, axis=1, max_shift=mx)
+    return out
+
+
+def scale_about_center(img: jax.Array, scale: jax.Array) -> jax.Array:
+    """Zoom about the image center (bilinear, separable — MXU-friendly
+    via jax.image.scale_and_translate)."""
+    h, w = img.shape[0], img.shape[1]
+    s = jnp.stack([scale, scale])
+    t = jnp.stack([(h - 1) / 2.0 * (1.0 - scale), (w - 1) / 2.0 * (1.0 - scale)])
+    return jax.image.scale_and_translate(
+        img, img.shape, (0, 1), s, t, method="linear"
+    )
+
+
 def random_affine(
     key: jax.Array,
     img: jax.Array,
     degrees: float = 3.0,
     scale_range: Tuple[float, float] = (1.05, 1.1),
 ) -> jax.Array:
+    """RandomAffine(degrees, scale) equivalent (reference
+    datasets.py:220-222): rotation ±degrees + zoom, about the center.
+
+    TPU note: PIL/torchvision resample by arbitrary-index gather; here
+    rotation is the 3-shear roll-accumulate and scale a separable
+    resample, both VPU/MXU-native (see _shear).  Interpolation is
+    bilinear-ish rather than PIL's nearest — a distribution-level
+    equivalent for this mild pose jitter.
+    """
     ka, ks = jax.random.split(key)
     angle = jax.random.uniform(ka, (), minval=-degrees, maxval=degrees)
     scale = jax.random.uniform(ks, (), minval=scale_range[0], maxval=scale_range[1])
-    return affine_nearest(img, angle, scale)
+    dtype = img.dtype
+    out = scale_about_center(img, scale).astype(dtype)
+    out = rotate_small_angle(out, angle, max_degrees=degrees)
+    return jnp.clip(out, 0.0, 1.0).astype(dtype)
 
 
 # --- misc ---------------------------------------------------------------------
 
 
 def mean_color(img: jax.Array) -> jax.Array:
-    """Mean RGB of an image region, shape (3,)."""
-    return jnp.mean(img, axis=(0, 1))
+    """Mean RGB of an image region, shape (3,), f32 accumulation."""
+    return jnp.mean(img, axis=(0, 1), dtype=jnp.float32)
 
 
 def color_cosine_similarity(a_mean: jax.Array, b_mean: jax.Array, eps: float = 1e-12):

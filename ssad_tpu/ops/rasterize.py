@@ -47,19 +47,17 @@ def polygon_mask(vertices: jax.Array, num_vertices: jax.Array, shape: Tuple[int,
 
     px, py = _pixel_grid(shape)
 
-    def edge_crossings(carry, i):
-        x1, y1 = verts[i, 0], verts[i, 1]
-        j = (i + 1) % max_v
-        x2, y2 = verts[j, 0], verts[j, 1]
-        cond = (y1 > py) != (y2 > py)
-        # x coordinate of the edge at scanline py
-        denom = jnp.where(y2 == y1, 1.0, y2 - y1)
-        xint = x1 + (py - y1) * (x2 - x1) / denom
-        crossed = cond & (px < xint)
-        return carry ^ crossed, None
-
-    inside, _ = jax.lax.scan(edge_crossings, jnp.zeros(shape, dtype=bool), jnp.arange(max_v))
-    return inside.astype(jnp.float32)
+    # all edges at once: (max_v, 1, 1) vs (H, W) broadcast, one VPU pass
+    nxt = jnp.roll(verts, -1, axis=0)
+    x1 = verts[:, 0][:, None, None]
+    y1 = verts[:, 1][:, None, None]
+    x2 = nxt[:, 0][:, None, None]
+    y2 = nxt[:, 1][:, None, None]
+    cond = (y1 > py) != (y2 > py)
+    denom = jnp.where(y2 == y1, 1.0, y2 - y1)
+    xint = x1 + (py - y1) * (x2 - x1) / denom
+    crossings = jnp.sum((cond & (px < xint)).astype(jnp.int32), axis=0)
+    return (crossings % 2).astype(jnp.float32)
 
 
 def polyline_mask(
@@ -78,22 +76,21 @@ def polyline_mask(
     half = width / 2.0
     max_p = points.shape[0]
 
-    def seg(carry, i):
-        a = points[i]
-        b = points[i + 1]
-        ab = b - a
-        denom = jnp.maximum(ab[0] ** 2 + ab[1] ** 2, 1e-12)
-        t = ((px - a[0]) * ab[0] + (py - a[1]) * ab[1]) / denom
-        t = jnp.clip(t, 0.0, 1.0)
-        dx = px - (a[0] + t * ab[0])
-        dy = py - (a[1] + t * ab[1])
-        d2 = dx * dx + dy * dy
-        active = i < num_points - 1
-        hit = active & (d2 <= half * half)
-        return carry | hit, None
-
-    mask, _ = jax.lax.scan(seg, jnp.zeros(shape, dtype=bool), jnp.arange(max_p - 1))
-    return mask.astype(jnp.float32)
+    # all segments at once: (S, 1, 1) vs (H, W) broadcast
+    a = points[:-1]  # (S, 2)
+    b = points[1:]
+    ax = a[:, 0][:, None, None]
+    ay = a[:, 1][:, None, None]
+    abx = (b[:, 0] - a[:, 0])[:, None, None]
+    aby = (b[:, 1] - a[:, 1])[:, None, None]
+    denom = jnp.maximum(abx * abx + aby * aby, 1e-12)
+    t = jnp.clip(((px - ax) * abx + (py - ay) * aby) / denom, 0.0, 1.0)
+    dx = px - (ax + t * abx)
+    dy = py - (ay + t * aby)
+    d2 = dx * dx + dy * dy
+    active = (jnp.arange(max_p - 1) < num_points - 1)[:, None, None]
+    hit = jnp.any(active & (d2 <= half * half), axis=0)
+    return hit.astype(jnp.float32)
 
 
 def rotated_rect_mask(

@@ -1,0 +1,3 @@
+from ssad_tpu.parallel import mesh
+
+__all__ = ["mesh"]

@@ -1,0 +1,328 @@
+"""Two-phase trainer: one fused, jit-compiled synth→forward→backward step.
+
+Reference flow (tools.py:204-306):
+  phase 1 'projection': frozen backbone, 10 epochs @ lr .03, no
+  scheduler; phase 2 'fine_tune': everything, 30 epochs @ lr .005,
+  cosine schedule, best-val-loss checkpoint every 5 epochs; the memory
+  bank fills during the second half of each phase's epochs with
+  embeddings of samples where y==0 ∧ ŷ==0 (models.py:270-275).
+
+TPU re-design:
+  * the synthetic-defect pipeline and the train step compile into ONE
+    XLA program — no host dataloader, no H2D per batch; per-step work
+    is index sampling + synthesis + fwd/bwd, all on device;
+  * the memory bank is an on-device ring buffer updated inside the
+    step (train/memory_bank.py), not a CPU deque;
+  * the step function is pure (state, key) → (state, metrics): wrapping
+    it in pjit with a sharded batch axis is what parallel/mesh.py does —
+    gradients and bank inserts become global automatically.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ssad_tpu.config import TrainConfig
+from ssad_tpu.data import mvtec
+from ssad_tpu.data.synthetic import SynthSpec, make_synthesizer
+from ssad_tpu.models.peranet import build_model
+from ssad_tpu.train import optim as optim_mod
+from ssad_tpu.train.memory_bank import MemoryBank, init_bank, insert
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    bank: MemoryBank
+    step: jax.Array  # global step counter
+
+
+@dataclasses.dataclass
+class TrainResult:
+    params: Any
+    batch_stats: Any
+    bank: MemoryBank
+    history: Dict[str, list]
+    best_params: Any = None
+    best_batch_stats: Any = None
+    best_val_loss: float = float("inf")
+
+
+def _epoch_steps(n_train_files: int, min_len: int, batch_size: int) -> int:
+    """Reference epoch length: file list duplicated to ≥ min_len, then
+    drop_last batches (datasets.py:447-457, :501-508)."""
+    if n_train_files == 0:
+        return 0
+    dup = n_train_files * max(math.ceil(min_len / n_train_files), 1)
+    return max(dup // batch_size, 1)
+
+
+class Trainer:
+    """Trains one category; see fit()."""
+
+    def __init__(self, cfg: TrainConfig, data: mvtec.PretextData, mesh=None):
+        self.cfg = cfg
+        self.data = data
+        self.mesh = mesh
+        self.model = build_model(cfg.model)
+        self.spec = SynthSpec(
+            subject=cfg.data.subject,
+            imsize=cfg.data.imsize,
+            patch_localization=cfg.data.patch_localization,
+            patch_size=cfg.data.patch_size,
+            aug=cfg.aug,
+        )
+        self.synth = make_synthesizer(self.spec)
+        self._step_cache: Dict[Tuple[str, bool], Any] = {}
+
+    # --- batch synthesis inside the step --------------------------------
+
+    def _make_batch(self, key, images, masks, coords, counts):
+        """Sample batch indices + synthesize, all on device.
+
+        images: (N, H, W, 3); masks/coords/counts are either unbatched
+        (fixed-pose subjects) or per-image stacks (NON_FIXED subjects).
+        """
+        b = self.cfg.data.batch_size
+        k_idx, k_syn = jax.random.split(key)
+        n = images.shape[0]
+        idx = jax.random.randint(k_idx, (b,), 0, n)
+        batch_imgs = images[idx]
+        keys = jax.random.split(k_syn, b)
+        pool = jnp.asarray(self.data.cut_pool)
+        n_cut = jnp.int32(self.data.cut_pool.shape[0])
+        per_image = masks.ndim == 3
+        if per_image:
+            m, c, cnt = masks[idx], coords[idx], counts[idx]
+            axes = (0, 0, None, None, 0, 0, 0)
+        else:
+            m, c, cnt = masks, coords, counts
+            axes = (0, 0, None, None, None, None, None)
+        x, y, orig = jax.vmap(self.synth, in_axes=axes)(
+            keys, batch_imgs, pool, n_cut, m, c, cnt
+        )
+        return x, y
+
+    # --- fused train / eval steps ---------------------------------------
+
+    def _get_step_fns(self, stage: str):
+        if stage in self._step_cache:
+            return self._step_cache[stage]
+
+        model = self.model
+        steps = _epoch_steps(
+            self.data.train_images.shape[0],
+            self.cfg.data.min_dataset_length,
+            self.cfg.data.batch_size,
+        )
+        tx = optim_mod.build_optimizer(self.cfg.optim, stage, steps, self._params_template)
+
+        def train_step(state: TrainState, key, images, masks, coords, counts, fill_bank):
+            x, y = self._make_batch(key, images, masks, coords, counts)
+
+            def loss_fn(params):
+                out, mutated = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    x,
+                    train=True,
+                    mutable=["batch_stats"],
+                )
+                logits = out["classifier"]
+                emb = out["latent_space"]
+                loss = optax.softmax_cross_entropy_with_integer_labels(logits, y).mean()
+                return loss, (mutated["batch_stats"], logits, emb)
+
+            (loss, (new_stats, logits, emb)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+
+            y_hat = jnp.argmax(logits, axis=-1)
+            acc = jnp.mean((y_hat == y).astype(jnp.float32))
+            # memory-bank fill: y==0 ∧ ŷ==0 ∧ second-half-of-epochs
+            # (models.py:270-275)
+            mask = (y == 0) & (y_hat == 0) & fill_bank
+            bank = insert(state.bank, emb.astype(jnp.float32), mask)
+
+            new_state = TrainState(new_params, new_stats, new_opt, bank, state.step + 1)
+            return new_state, {"loss": loss, "accuracy": acc}
+
+        def eval_step(params, batch_stats, key, images, masks, coords, counts):
+            x, y = self._make_batch(key, images, masks, coords, counts)
+            out = model.apply(
+                {"params": params, "batch_stats": batch_stats}, x, train=False
+            )
+            logits = out["classifier"]
+            loss = optax.softmax_cross_entropy_with_integer_labels(logits, y).mean()
+            acc = jnp.mean((jnp.argmax(logits, axis=-1) == y).astype(jnp.float32))
+            return {"loss": loss, "accuracy": acc}
+
+        jitted = (jax.jit(train_step), jax.jit(eval_step), tx, steps)
+        self._step_cache[stage] = jitted
+        return jitted
+
+    # --- data as device arrays -------------------------------------------
+
+    def _device_data(self, split: str):
+        d = self.data
+        if split == "train":
+            images = jnp.asarray(d.train_images)
+            masks = d.train_masks
+            coords = d.train_coords
+            counts = d.train_counts
+        else:
+            images = jnp.asarray(d.val_images)
+            masks = d.val_masks
+            coords = d.val_coords
+            counts = d.val_counts
+        if masks is None:  # fixed-pose: shared subject mask
+            masks = jnp.asarray(d.fixed_mask)
+            coords = jnp.asarray(d.fixed_coords)
+            counts = jnp.int32(d.fixed_count)
+        else:
+            masks = jnp.asarray(masks)
+            coords = jnp.asarray(coords)
+            counts = jnp.asarray(counts)
+        return images, masks, coords, counts
+
+    # --- the two-phase fit ------------------------------------------------
+
+    def init_state(self, rng: jax.Array, stage: str) -> TrainState:
+        from ssad_tpu.models.peranet import init_model
+
+        h, w = self.spec.canvas
+        params, batch_stats = init_model(self.model, rng, (1, max(h, 64), max(w, 64), 3))
+        if self.cfg.model.pretrained_backbone:
+            from ssad_tpu.utils import torch_weights
+
+            params = torch_weights.load_resnet18_into(
+                params, self.cfg.model.pretrained_backbone
+            )
+        self._params_template = params
+        _, _, tx, _ = self._get_step_fns(stage)
+        opt_state = tx.init(params)
+        bank = init_bank(self.cfg.model.memory_bank_size, self.cfg.model.latent_dim)
+        return TrainState(params, batch_stats, opt_state, bank, jnp.zeros((), jnp.int32))
+
+    def run_stage(
+        self,
+        state: TrainState,
+        stage: str,
+        epochs: int,
+        rng: jax.Array,
+        result: TrainResult,
+        log_every: Optional[int] = None,
+    ) -> TrainState:
+        train_step, eval_step, tx, steps_per_epoch = self._get_step_fns(stage)
+        tr = self._device_data("train")
+        va = self._device_data("val")
+        val_steps = max(
+            _epoch_steps(
+                max(self.data.val_images.shape[0], 1),
+                self.cfg.data.min_dataset_length,
+                self.cfg.data.batch_size,
+            ),
+            1,
+        )
+        ckpt_every = self.cfg.optim.checkpoint_every_n_epochs
+
+        for epoch in range(epochs):
+            fill = jnp.asarray(epoch > epochs // 2)  # models.py:270
+            metrics_acc = []
+            for s in range(steps_per_epoch):
+                rng, k = jax.random.split(rng)
+                state, metrics = train_step(state, k, *tr, fill)
+                metrics_acc.append(metrics)
+            train_loss = float(jnp.mean(jnp.stack([m["loss"] for m in metrics_acc])))
+            train_acc = float(jnp.mean(jnp.stack([m["accuracy"] for m in metrics_acc])))
+
+            val_metrics = []
+            for s in range(min(val_steps, 4)):
+                rng, k = jax.random.split(rng)
+                val_metrics.append(eval_step(state.params, state.batch_stats, k, *va))
+            val_loss = float(jnp.mean(jnp.stack([m["loss"] for m in val_metrics])))
+            val_acc = float(jnp.mean(jnp.stack([m["accuracy"] for m in val_metrics])))
+
+            result.history.setdefault(f"{stage}_train_loss", []).append(train_loss)
+            result.history.setdefault(f"{stage}_train_accuracy", []).append(train_acc)
+            result.history.setdefault(f"{stage}_val_loss", []).append(val_loss)
+            result.history.setdefault(f"{stage}_val_accuracy", []).append(val_acc)
+
+            # best-val checkpoint cadence (fine-tune, tools.py:284-290)
+            if stage == "fine_tune" and (epoch + 1) % ckpt_every == 0:
+                if val_loss < result.best_val_loss:
+                    result.best_val_loss = val_loss
+                    result.best_params = jax.tree_util.tree_map(
+                        lambda a: np.asarray(a), state.params
+                    )
+                    result.best_batch_stats = jax.tree_util.tree_map(
+                        lambda a: np.asarray(a), state.batch_stats
+                    )
+            if log_every and (epoch % log_every == 0 or epoch == epochs - 1):
+                print(
+                    f"[{self.cfg.data.subject}/{stage}] epoch {epoch + 1}/{epochs} "
+                    f"loss {train_loss:.4f} acc {train_acc:.3f} "
+                    f"val_loss {val_loss:.4f} val_acc {val_acc:.3f} "
+                    f"bank {int(state.bank.count)}"
+                )
+        return state
+
+    def fit(self, seed: int = 0, verbose: bool = True) -> TrainResult:
+        """Full two-phase training (reference tools.training, :204-306)."""
+        rng = jax.random.key(seed)
+        rng, k_init = jax.random.split(rng)
+        result = TrainResult(params=None, batch_stats=None, bank=None, history={})
+
+        # phase 1: projection-head training, frozen backbone
+        state = self.init_state(k_init, "projection")
+        rng, k_stage = jax.random.split(rng)
+        state = self.run_stage(
+            state, "projection", self.cfg.optim.projection_epochs, k_stage, result,
+            log_every=1 if verbose else None,
+        )
+
+        # bank is cleared between phases (tools.py:273)
+        bank = init_bank(self.cfg.model.memory_bank_size, self.cfg.model.latent_dim)
+
+        # phase 2: fine-tune everything, fresh optimizer with schedule
+        _, _, tx2, _ = self._get_step_fns("fine_tune")
+        state = TrainState(
+            state.params, state.batch_stats, tx2.init(state.params), bank,
+            jnp.zeros((), jnp.int32),
+        )
+        rng, k_stage = jax.random.split(rng)
+        state = self.run_stage(
+            state, "fine_tune", self.cfg.optim.fine_tune_epochs, k_stage, result,
+            log_every=1 if verbose else None,
+        )
+
+        result.params = state.params
+        result.batch_stats = state.batch_stats
+        result.bank = state.bank
+        return result
+
+
+def train_category(
+    cfg: TrainConfig, data: Optional[mvtec.PretextData] = None, verbose: bool = True
+) -> TrainResult:
+    """Convenience entry point: discover data, train, return result."""
+    if data is None:
+        data = mvtec.prepare_pretext_data(
+            cfg.data.dataset_dir,
+            cfg.data.subject,
+            imsize=cfg.data.imsize,
+            val_fraction=cfg.data.train_val_split,
+            seed=cfg.data.seed,
+            patch_localization=cfg.data.patch_localization,
+        )
+    trainer = Trainer(cfg, data)
+    return trainer.fit(seed=cfg.seed, verbose=verbose)

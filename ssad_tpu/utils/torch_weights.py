@@ -1,0 +1,104 @@
+"""Import torchvision ResNet-18 ImageNet weights into the Flax backbone.
+
+The reference initializes from torchvision IMAGENET1K_V1
+(models.py:59); training from scratch would not reach accuracy parity
+in 40 epochs (SURVEY.md §7 hard part #6).  This environment has no
+network egress and no bundled weights, so the converter is gated on a
+user-supplied state-dict file (torch .pth, loadable with torch-cpu).
+
+Layout mapping (torch → flax):
+  conv .weight (O, I, kh, kw)  →  kernel (kh, kw, I, O)
+  bn   .weight/.bias           →  scale/bias
+  bn   .running_mean/var       →  batch_stats mean/var
+  layerL.B.convN / bnN / downsample.{0,1}
+       →  backbone/layerL_B/{convN, bnN, downsample_conv, downsample_bn}
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import numpy as np
+
+
+def _conv(k):
+    return np.transpose(np.asarray(k), (2, 3, 1, 0))  # OIHW → HWIO
+
+
+def convert_resnet18_state_dict(state_dict: Dict[str, Any]) -> Tuple[dict, dict]:
+    """torchvision resnet18 state_dict → (params, batch_stats) subtrees
+    for the `backbone` module of models/resnet.ResNet18."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items() if "num_batches" not in k}
+    params: dict = {}
+    stats: dict = {}
+
+    def put_bn(flax_name: str, torch_prefix: str, tree_p: dict, tree_s: dict):
+        tree_p[flax_name] = {
+            "scale": sd[f"{torch_prefix}.weight"],
+            "bias": sd[f"{torch_prefix}.bias"],
+        }
+        tree_s[flax_name] = {
+            "mean": sd[f"{torch_prefix}.running_mean"],
+            "var": sd[f"{torch_prefix}.running_var"],
+        }
+
+    params["conv1"] = {"kernel": _conv(sd["conv1.weight"])}
+    put_bn("bn1", "bn1", params, stats)
+
+    for stage in range(1, 5):
+        for block in range(2):
+            name = f"layer{stage}_{block}"
+            tp: dict = {}
+            ts: dict = {}
+            prefix = f"layer{stage}.{block}"
+            tp["conv1"] = {"kernel": _conv(sd[f"{prefix}.conv1.weight"])}
+            put_bn("bn1", f"{prefix}.bn1", tp, ts)
+            tp["conv2"] = {"kernel": _conv(sd[f"{prefix}.conv2.weight"])}
+            put_bn("bn2", f"{prefix}.bn2", tp, ts)
+            if f"{prefix}.downsample.0.weight" in sd:
+                tp["downsample_conv"] = {"kernel": _conv(sd[f"{prefix}.downsample.0.weight"])}
+                put_bn("downsample_bn", f"{prefix}.downsample.1", tp, ts)
+            params[name] = tp
+            stats[name] = ts
+    return params, stats
+
+
+def load_resnet18_into(params: dict, path: str, batch_stats: dict | None = None) -> dict:
+    """Replace the `backbone` subtree of a PeraNet param tree with
+    converted torchvision weights from `path` (a torch .pth/.pt file).
+
+    Returns the updated params; mutates `batch_stats['backbone']` in
+    place when given.
+    """
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    bb_params, bb_stats = convert_resnet18_state_dict(sd)
+
+    new_params = dict(params)
+    new_params["backbone"] = _cast_like(params["backbone"], bb_params)
+    if batch_stats is not None and "backbone" in batch_stats:
+        batch_stats["backbone"] = _cast_like(batch_stats["backbone"], bb_stats)
+    return new_params
+
+
+def _cast_like(template, source):
+    """Match dtypes/structure of the flax template tree."""
+    import jax
+
+    flat_t = jax.tree_util.tree_flatten_with_path(template)[0]
+    out = source
+
+    def cast(path, leaf_t):
+        node = out
+        for p in path:
+            node = node[p.key]
+        arr = np.asarray(node)
+        if arr.shape != leaf_t.shape:
+            raise ValueError(f"shape mismatch at {path}: {arr.shape} vs {leaf_t.shape}")
+        return arr.astype(np.asarray(leaf_t).dtype)
+
+    rebuilt = jax.tree_util.tree_map_with_path(lambda p, l: cast(p, l), template)
+    return rebuilt

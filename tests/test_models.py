@@ -1,0 +1,171 @@
+"""Tests for ResNet-18 / PeraNet / AnomalyDetector / memory bank."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ssad_tpu.config import ModelConfig
+from ssad_tpu.models import detector as det
+from ssad_tpu.models.peranet import build_model, init_model
+from ssad_tpu.train import memory_bank as mb
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    cfg = ModelConfig(compute_dtype="float32")
+    model = build_model(cfg)
+    params, stats = init_model(model, jax.random.key(0), (1, 64, 64, 3))
+    return model, params, stats
+
+
+class TestPeraNet:
+    def test_output_contract(self, small_model):
+        model, params, stats = small_model
+        x = jnp.ones((2, 64, 64, 3))
+        out = model.apply({"params": params, "batch_stats": stats}, x, train=False)
+        assert out["classifier"].shape == (2, 4)
+        assert out["latent_space"].shape == (2, 512)
+        assert np.isfinite(np.asarray(out["classifier"])).all()
+
+    def test_small_input_upsampled(self, small_model):
+        model, params, stats = small_model
+        x = jnp.ones((2, 32, 32, 3))  # patch-size input → nearest-resized to 64
+        out = model.apply({"params": params, "batch_stats": stats}, x, train=False)
+        assert out["classifier"].shape == (2, 4)
+
+    def test_train_mode_updates_batch_stats(self, small_model):
+        model, params, stats = small_model
+        x = jax.random.normal(jax.random.key(1), (4, 64, 64, 3))
+        _, mutated = model.apply(
+            {"params": params, "batch_stats": stats}, x, train=True,
+            mutable=["batch_stats"],
+        )
+        before = jax.tree_util.tree_leaves(stats)
+        after = jax.tree_util.tree_leaves(mutated["batch_stats"])
+        changed = any(
+            not np.allclose(np.asarray(b), np.asarray(a)) for b, a in zip(before, after)
+        )
+        assert changed
+
+    def test_feature_dims(self, small_model):
+        # concatenated tap width must be 128 + 256 + 512 = 896
+        # (reference get_dim, models.py:119-132)
+        model, params, stats = small_model
+        k = params["concatenator_dense"]["kernel"]
+        assert k.shape == (896, 512)
+
+    def test_backbone_param_shapes_match_torchvision(self, small_model):
+        _, params, stats = small_model
+        bb = params["backbone"]
+        assert bb["conv1"]["kernel"].shape == (7, 7, 3, 64)
+        assert bb["layer4_0"]["downsample_conv"]["kernel"].shape == (1, 1, 256, 512)
+        assert "downsample_conv" not in bb["layer1_0"]
+
+
+class TestTorchWeightsConverter:
+    def test_roundtrip_with_fake_state_dict(self, small_model, tmp_path):
+        torch = pytest.importorskip("torch")
+        from ssad_tpu.utils import torch_weights
+
+        model, params, stats = small_model
+        # build a fake torchvision-layout state dict with correct shapes
+        sd = {}
+        rng = np.random.default_rng(0)
+
+        def add_bn(prefix, c):
+            sd[f"{prefix}.weight"] = torch.tensor(rng.normal(size=(c,)).astype(np.float32))
+            sd[f"{prefix}.bias"] = torch.zeros(c)
+            sd[f"{prefix}.running_mean"] = torch.zeros(c)
+            sd[f"{prefix}.running_var"] = torch.ones(c)
+            sd[f"{prefix}.num_batches_tracked"] = torch.tensor(0)
+
+        sd["conv1.weight"] = torch.tensor(rng.normal(size=(64, 3, 7, 7)).astype(np.float32))
+        add_bn("bn1", 64)
+        chans = {1: (64, 64), 2: (64, 128), 3: (128, 256), 4: (256, 512)}
+        for stage, (cin, cout) in chans.items():
+            for block in range(2):
+                pre = f"layer{stage}.{block}"
+                i = cin if block == 0 else cout
+                sd[f"{pre}.conv1.weight"] = torch.tensor(
+                    rng.normal(size=(cout, i, 3, 3)).astype(np.float32))
+                add_bn(f"{pre}.bn1", cout)
+                sd[f"{pre}.conv2.weight"] = torch.tensor(
+                    rng.normal(size=(cout, cout, 3, 3)).astype(np.float32))
+                add_bn(f"{pre}.bn2", cout)
+                if stage > 1 and block == 0:
+                    sd[f"{pre}.downsample.0.weight"] = torch.tensor(
+                        rng.normal(size=(cout, i, 1, 1)).astype(np.float32))
+                    add_bn(f"{pre}.downsample.1", cout)
+        path = tmp_path / "resnet18.pth"
+        torch.save(sd, path)
+
+        new_params = torch_weights.load_resnet18_into(params, str(path))
+        k = np.asarray(new_params["backbone"]["conv1"]["kernel"])
+        np.testing.assert_allclose(
+            k, np.transpose(sd["conv1.weight"].numpy(), (2, 3, 1, 0)), atol=1e-6
+        )
+        # model still runs with converted weights
+        model_out = build_model(ModelConfig(compute_dtype="float32")).apply(
+            {"params": new_params, "batch_stats": stats}, jnp.ones((1, 64, 64, 3)),
+            train=False,
+        )
+        assert np.isfinite(np.asarray(model_out["classifier"])).all()
+
+
+class TestAnomalyDetector:
+    def test_fit_predict_separates(self, rng):
+        # normal embeddings cluster around a direction; anomalies don't
+        base = rng.normal(size=(1, 32)).astype(np.float32)
+        normal = base + rng.normal(size=(200, 32)).astype(np.float32) * 0.1
+        d = det.AnomalyDetector(k=3).fit(jnp.asarray(normal), jax.random.key(0))
+        scores_normal = np.asarray(d.predict(jnp.asarray(normal[:50])))
+        anomalous = rng.normal(size=(50, 32)).astype(np.float32) * 2
+        scores_anom = np.asarray(d.predict(jnp.asarray(anomalous)))
+        assert scores_anom.mean() > scores_normal.mean() * 5
+        assert 0 < d.threshold < float(scores_anom.mean())
+        # calibrated threshold separates most anomalies from most normals
+        assert (scores_anom > d.threshold).mean() > 0.9
+
+    def test_patch_mode_reshape(self, rng):
+        normal = rng.normal(size=(100, 16)).astype(np.float32)
+        d = det.AnomalyDetector(patch_level=True, batch=2, num_patches=9, k=3)
+        d.fit(jnp.asarray(normal), jax.random.key(0))
+        q = rng.normal(size=(18, 16)).astype(np.float32)
+        maps = d.predict(jnp.asarray(q))
+        assert maps.shape == (2, 1, 3, 3)
+
+    def test_too_small_bank_raises(self, rng):
+        with pytest.raises(ValueError):
+            det.AnomalyDetector(k=3).fit(jnp.ones((3, 8)))
+
+
+class TestMemoryBank:
+    def test_insert_respects_mask(self):
+        bank = mb.init_bank(8, 4)
+        emb = jnp.arange(12, dtype=jnp.float32).reshape(3, 4)
+        mask = jnp.array([True, False, True])
+        bank = mb.insert(bank, emb, mask)
+        assert int(bank.count) == 2
+        np.testing.assert_allclose(np.asarray(bank.data[0]), emb[0])
+        np.testing.assert_allclose(np.asarray(bank.data[1]), emb[2])
+        assert np.asarray(bank.data[2]).sum() == 0
+
+    def test_ring_wraparound_keeps_newest(self):
+        bank = mb.init_bank(4, 1)
+        for i in range(3):
+            emb = jnp.asarray([[i * 2.0], [i * 2.0 + 1]])
+            bank = mb.insert(bank, emb, jnp.array([True, True]))
+        # inserted 0..5 into capacity 4 → newest are 2,3,4,5
+        assert int(bank.count) == 4
+        newest = mb.newest_first(bank)
+        np.testing.assert_allclose(newest[:, 0], [5.0, 4.0, 3.0, 2.0])
+
+    def test_insert_jittable(self):
+        bank = mb.init_bank(16, 4)
+        step = jax.jit(mb.insert)
+        emb = jnp.ones((8, 4))
+        bank = step(bank, emb, jnp.ones(8, bool))
+        assert int(bank.count) == 8
