@@ -1,0 +1,248 @@
+"""Command-line interface.
+
+The reference has no CLI at all — configuration is hand-edited __main__
+blocks (evaluator.py:656-699, localizer.py:233-266) and kwargs.  This
+exposes the full workflow:
+
+    python -m ssad_tpu.cli train     --dataset-dir D --subject bottle --outputs-dir O
+    python -m ssad_tpu.cli evaluate  --dataset-dir D --models-dir O --subjects bottle,carpet
+    python -m ssad_tpu.cli localize  --dataset-dir D --models-dir O --subject bottle
+    python -m ssad_tpu.cli qa        --dataset-dir D --subject bottle --outputs-dir O
+    python -m ssad_tpu.cli sweep     --dataset-dir D --outputs-dir O   (train all categories)
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+from pathlib import Path
+
+from ssad_tpu import constants
+from ssad_tpu.config import DataConfig, EvalConfig, ModelConfig, OptimConfig, TrainConfig
+
+
+def _train_cfg(args) -> TrainConfig:
+    return TrainConfig(
+        data=DataConfig(
+            dataset_dir=args.dataset_dir,
+            subject=args.subject,
+            imsize=(args.imsize, args.imsize),
+            batch_size=args.batch_size,
+            seed=args.seed,
+            patch_localization=args.patch_level,
+            patch_size=args.patch_size,
+        ),
+        model=ModelConfig(pretrained_backbone=args.pretrained_backbone),
+        optim=OptimConfig(
+            projection_epochs=args.projection_epochs,
+            projection_lr=args.projection_lr,
+            fine_tune_epochs=args.fine_tune_epochs,
+            fine_tune_lr=args.fine_tune_lr,
+        ),
+        outputs_dir=args.outputs_dir,
+        seed=args.seed,
+    )
+
+
+def cmd_train(args) -> int:
+    from ssad_tpu.train import checkpoint as ckpt
+    from ssad_tpu.train.trainer import train_category
+
+    cfg = _train_cfg(args)
+    result = train_category(cfg, verbose=not args.quiet)
+    out = Path(args.outputs_dir) / args.subject
+    path = ckpt.save_checkpoint(out, result.params, result.batch_stats, result.bank, cfg)
+    if result.best_params is not None:
+        ckpt.save_checkpoint(
+            out / "logs", result.best_params, result.best_batch_stats, None, cfg,
+            name="best_model_so_far",
+        )
+    from ssad_tpu.evaluation import visualization as vis
+
+    vis.plot_history(
+        {k: v for k, v in result.history.items() if k.startswith("projection")},
+        out, mode="training",
+    )
+    vis.plot_history(
+        {k: v for k, v in result.history.items() if k.startswith("fine_tune")},
+        out, mode="fine_tune",
+    )
+    print(f"checkpoint: {path}")
+    return 0
+
+
+def cmd_sweep(args) -> int:
+    subjects = _subjects(args)
+    for subject in subjects:
+        args.subject = subject
+        print(f"=== training {subject} ===")
+        cmd_train(args)
+    return 0
+
+
+def cmd_evaluate(args) -> int:
+    from ssad_tpu.evaluation.evaluator import evaluate_categories
+
+    cfg = EvalConfig(
+        patch_localization=args.patch_level,
+        patch_dim=args.patch_dim,
+        stride=args.stride,
+        imsize=(args.imsize, args.imsize),
+        batch_size=args.batch_size,
+        seed=args.seed,
+    )
+    results = evaluate_categories(
+        args.dataset_dir, args.models_dir, _subjects(args), cfg, args.outputs_dir
+    )
+    for s, r in results.items():
+        row = (
+            f"pixel_auroc={r.pixel_auroc:.4f} iou={r.iou:.4f} aupro={r.aupro:.4f}"
+            if args.patch_level
+            else f"image_auroc={r.image_auroc:.4f} f1={r.image_f1:.4f}"
+        )
+        print(f"{s}: {row}")
+    return 0
+
+
+def cmd_localize(args) -> int:
+    from ssad_tpu.data import mvtec
+    from ssad_tpu.evaluation import inference as inf
+    from ssad_tpu.evaluation.localizer import Localizer
+
+    cfg = EvalConfig(
+        patch_localization=args.patch_level,
+        patch_dim=args.patch_dim,
+        stride=args.stride,
+        imsize=(args.imsize, args.imsize),
+    )
+    engine, bank, _ = inf.load_engine(
+        str(Path(args.models_dir) / args.subject / "best_model")
+    )
+    data = mvtec.prepare_pretext_data(args.dataset_dir, args.subject, imsize=cfg.imsize)
+    test = mvtec.prepare_mvtec_test_data(args.dataset_dir, args.subject, imsize=cfg.imsize)
+    loc = Localizer(engine, cfg).setup(data)
+    paths = loc.localize(test, str(Path(args.outputs_dir) / args.subject), args.num_images)
+    print("\n".join(paths))
+    return 0
+
+
+def cmd_qa(args) -> int:
+    """Render augmentation-QA grids (reference
+    test_artificial_transformations.py:226-435)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ssad_tpu.data import mvtec
+    from ssad_tpu.data.synthetic import SynthSpec, batched_synthesizer
+    from ssad_tpu.evaluation import visualization as vis
+    from ssad_tpu.ops import image as im
+
+    data = mvtec.prepare_pretext_data(
+        args.dataset_dir, args.subject, imsize=(args.imsize, args.imsize)
+    )
+    spec = SynthSpec(
+        subject=args.subject, imsize=(args.imsize, args.imsize),
+        patch_localization=args.patch_level, patch_size=args.patch_size,
+    )
+    synth = jax.jit(batched_synthesizer(spec, per_image_masks=False))
+    b = 64
+    keys = jax.random.split(jax.random.key(args.seed), b)
+    idx = np.random.default_rng(args.seed).integers(0, data.train_images.shape[0], b)
+    x, y, _ = synth(
+        keys, jnp.asarray(data.train_images[idx]), jnp.asarray(data.cut_pool),
+        jnp.int32(data.cut_pool.shape[0]), jnp.asarray(data.fixed_mask),
+        jnp.asarray(data.fixed_coords), jnp.int32(data.fixed_count),
+    )
+    x = np.asarray(jax.vmap(im.denormalize_imagenet)(x)).clip(0, 1)
+    y = np.asarray(y)
+    groups = {lbl: [x[i] for i in np.where(y == lbl)[0][:6]] for lbl in range(4)}
+    out = vis.augmentation_grid(
+        groups, Path(args.outputs_dir) / args.subject / "dataset_analysis",
+        f"{args.subject}_augmentations.png",
+    )
+    counts = np.bincount(y, minlength=4).tolist()
+    print(json.dumps({"grid": out, "label_counts": counts}))
+    return 0
+
+
+def _subjects(args):
+    if args.subjects == "all":
+        return list(constants.ALL_CATEGORIES)
+    return [s.strip() for s in args.subjects.split(",") if s.strip()]
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="ssad_tpu", description=__doc__)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp, models=False):
+        sp.add_argument("--dataset-dir", required=True)
+        sp.add_argument("--outputs-dir", default="outputs")
+        sp.add_argument("--platform", default=None, choices=["cpu", "tpu", "gpu"],
+                        help="force a JAX backend (the JAX_PLATFORMS env var "
+                             "may be overridden by platform plugins)")
+        if models:
+            sp.add_argument("--models-dir", required=True)
+        sp.add_argument("--imsize", type=int, default=256)
+        sp.add_argument("--seed", type=int, default=0)
+        sp.add_argument("--patch-level", action="store_true")
+        sp.add_argument("--patch-dim", type=int, default=32)
+        sp.add_argument("--patch-size", type=int, default=64)
+        sp.add_argument("--stride", type=int, default=8)
+        sp.add_argument("--batch-size", type=int, default=96)
+
+    t = sub.add_parser("train", help="train one category")
+    common(t)
+    t.add_argument("--subject", required=True)
+    t.add_argument("--projection-epochs", type=int, default=10)
+    t.add_argument("--projection-lr", type=float, default=0.03)
+    t.add_argument("--fine-tune-epochs", type=int, default=30)
+    t.add_argument("--fine-tune-lr", type=float, default=0.005)
+    t.add_argument("--pretrained-backbone", default=None,
+                   help="path to a torchvision resnet18 state_dict (.pth)")
+    t.add_argument("--quiet", action="store_true")
+    t.set_defaults(fn=cmd_train)
+
+    s = sub.add_parser("sweep", help="train several categories")
+    common(s)
+    s.add_argument("--subjects", default="all")
+    s.add_argument("--projection-epochs", type=int, default=10)
+    s.add_argument("--projection-lr", type=float, default=0.03)
+    s.add_argument("--fine-tune-epochs", type=int, default=30)
+    s.add_argument("--fine-tune-lr", type=float, default=0.005)
+    s.add_argument("--pretrained-backbone", default=None)
+    s.add_argument("--quiet", action="store_true")
+    s.set_defaults(fn=cmd_sweep)
+
+    e = sub.add_parser("evaluate", help="evaluate trained categories")
+    common(e, models=True)
+    e.add_argument("--subjects", default="all")
+    e.set_defaults(fn=cmd_evaluate)
+
+    l = sub.add_parser("localize", help="qualitative localization panels")
+    common(l, models=True)
+    l.add_argument("--subject", required=True)
+    l.add_argument("--num-images", type=int, default=5)
+    l.set_defaults(fn=cmd_localize)
+
+    q = sub.add_parser("qa", help="augmentation visual-QA grids")
+    common(q)
+    q.add_argument("--subject", required=True)
+    q.set_defaults(fn=cmd_qa)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if getattr(args, "platform", None):
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -434,25 +434,15 @@ def _shift_matrix(n_out: int, n_in: int, offset):
 
 def _shift2d(img, row_offset, col_offset, out_h: int, out_w: int):
     """out[i, k] = img[i + row_offset, k + col_offset] (zero padded),
-    as two one-hot matmuls.  img: (H, W) or (H, W, C).
+    as two one-hot matmuls (see ops.image.apply_separable).
 
     Default (bf16-input) MXU precision: one-hot values are exact in
     bf16, and pixel values quantize at ~2⁻⁸ relative — the same level
     as the reference's uint8 images.
     """
-    squeeze = img.ndim == 2
-    if squeeze:
-        img = img[..., None]
-    h, w, c = img.shape
-    dtype = img.dtype
-    m_r = _shift_matrix(out_h, h, row_offset)
-    m_c = _shift_matrix(out_w, w, col_offset)
-    tmp = jnp.matmul(m_r, img.reshape(h, w * c).astype(jnp.bfloat16))
-    tmp = tmp.reshape(out_h, w, c)
-    # columns: (out_h·c, w) @ (w, out_w)
-    tmp = jnp.matmul(tmp.transpose(0, 2, 1).reshape(out_h * c, w), m_c.T)
-    out = tmp.reshape(out_h, c, out_w).transpose(0, 2, 1).astype(dtype)
-    return out[..., 0] if squeeze else out
+    m_r = _shift_matrix(out_h, img.shape[0], row_offset)
+    m_c = _shift_matrix(out_w, img.shape[1], col_offset)
+    return im.apply_separable(img, m_r, m_c)
 
 
 def _crop_tile(cut, src_l, src_t, tile: int):
@@ -515,6 +505,39 @@ def _paste_polygon_patch(key, spec: SynthSpec, x, x_mean, cut, cut_integral, cs)
     return _composite_tiles(x, [(content, alpha, paste_l, paste_t)])
 
 
+def _shear_cols(img, shifts):
+    """out[r, c] = img[r, c - shifts[r]] (zero fill) via a per-row
+    one-hot batched matmul — T is small (a defect tile), so the (T,T,T)
+    one-hot stack is cheap and the contraction runs on the MXU."""
+    t_r, t_c = img.shape[0], img.shape[1]
+    ci = jax.lax.broadcasted_iota(jnp.int32, (t_r, t_c, t_c), 1)  # out col
+    cj = jax.lax.broadcasted_iota(jnp.int32, (t_r, t_c, t_c), 2)  # in col
+    p = (cj == ci - shifts[:, None, None]).astype(jnp.bfloat16)
+    out = jnp.einsum("rij,rjc->ric", p, img.astype(jnp.bfloat16))
+    return out.astype(img.dtype)
+
+
+def _rotate_tile(rgba, angle_deg):
+    """Rotate a centered (T, T, C) tile by angle_deg (CW in array
+    coords) with the Paeth 3-shear decomposition — integer per-line
+    shifts as batched one-hot matmuls.  Replaces a (T²·B)-element
+    arbitrary gather (~10 ns/element on the TPU scalar core) with three
+    MXU contractions; nearest-neighbor quality, like PIL rotate.
+    """
+    t = rgba.shape[0]
+    theta = jnp.deg2rad(angle_deg.astype(jnp.float32))
+    a = -jnp.tan(theta / 2.0)
+    b = jnp.sin(theta)
+    center = (t - 1) / 2.0
+    lines = jnp.arange(t, dtype=jnp.float32) - center
+    s_col = jnp.round(a * lines).astype(jnp.int32)
+    s_row = jnp.round(b * lines).astype(jnp.int32)
+
+    out = _shear_cols(rgba, s_col)
+    out = jnp.swapaxes(_shear_cols(jnp.swapaxes(out, 0, 1), s_row), 0, 1)
+    return _shear_cols(out, s_col)
+
+
 def _paste_scar(key, spec: SynthSpec, x, x_mean, cut, cut_integral, cs):
     """Label-2 defect: a crop rotated ±45° pasted 2-5 times
     (datasets.py:309-355)."""
@@ -543,27 +566,28 @@ def _paste_scar(key, spec: SynthSpec, x, x_mean, cut, cut_integral, cs):
     k_copies = _randint_incl(k_k, aug.scar_copies[0], aug.scar_copies[1])
     max_copies = aug.scar_copies[1]
     tile = spec.scar_tile
-    c_t, s_t = jnp.cos(theta), jnp.sin(theta)
 
-    # rotated scar content + alpha on the (tile, tile) canvas, computed
-    # once — every paste reuses the same rotated scar (datasets.py:344)
-    crop_tile = _crop_tile(cut, src_l, src_t, tile)
-    ty = jax.lax.broadcasted_iota(jnp.float32, (tile, tile), 0)
-    tx = jax.lax.broadcasted_iota(jnp.float32, (tile, tile), 1)
-    half = tile / 2.0
-    dx = tx - half
-    dy = ty - half
-    # back-rotate tile pixels into the un-rotated crop frame
-    u = c_t * dx - s_t * dy
-    v = s_t * dx + c_t * dy
-    inside = (jnp.abs(u) <= pwf / 2.0) & (jnp.abs(v) <= phf / 2.0)
-    sx = jnp.clip(jnp.round(u + pwf / 2.0).astype(jnp.int32), 0, tile - 1)
-    sy = jnp.clip(jnp.round(v + phf / 2.0).astype(jnp.int32), 0, tile - 1)
-    crop_val = crop_tile[sy, sx]  # small (tile², not canvas²) gather
-    flat = flat.astype(crop_val.dtype)
-    content = jnp.where(t == 0, crop_val, jnp.broadcast_to(flat, crop_val.shape))
+    # un-rotated scar, CENTERED in the tile: crop shifted so the scar
+    # rect's center lands on the tile center, with a centered rect alpha
+    off_r = src_t - (tile - ph) // 2
+    off_c = src_l - (tile - pw) // 2
+    crop_tile = _shift2d(cut, off_r, off_c, tile, tile)
+    ty = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 0)
+    tx = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 1)
+    in_rect = (
+        (tx >= (tile - pw) // 2)
+        & (tx < (tile - pw) // 2 + pw)
+        & (ty >= (tile - ph) // 2)
+        & (ty < (tile - ph) // 2 + ph)
+    )
+    flat = flat.astype(crop_tile.dtype)
+    content = jnp.where(t == 0, crop_tile, jnp.broadcast_to(flat, crop_tile.shape))
     content = jnp.clip(content * bright.astype(content.dtype), 0.0, 1.0)
-    alpha = inside.astype(content.dtype)
+    rgba = jnp.concatenate([content, in_rect[..., None].astype(content.dtype)], axis=-1)
+    # every paste reuses the same rotated scar (datasets.py:344)
+    rgba = _rotate_tile(rgba, angle_f)
+    content = rgba[..., :3]
+    alpha = (rgba[..., 3] > 0.5).astype(content.dtype)
 
     keys = jax.random.split(k_pastes, max_copies)
     # unrolled: max_copies is a small static bound (5); all pastes go

@@ -1,0 +1,322 @@
+"""Category evaluation + 15-category sweep with score tables.
+
+Re-design of reference src/evaluator.py (:128-698) and the library
+Evaluator (tools.py:28-146):
+
+* image-level: artificial + MVTec prediction, k-NN scores from the
+  memory bank (or train-set embeddings), image AUROC + optimal-F1;
+  optional Grad-CAM anomaly maps (evaluator.py:262-281);
+* patch-level: per-image sliding-window embeddings → k-NN scores →
+  blur+upsample maps → pixel AUROC / IoU / AUPRO (evaluator.py:286-374);
+* sweep: per-category rows + average, plus textures/objects aggregate
+  tables, exported csv/latex/markdown (evaluator.py:496-564), and
+  multi-curve ROC/PRO plots.
+
+Deviations from the reference (documented, deliberate):
+  - the patch branch evaluates ALL test images (the reference scores
+    only the first test dataloader batch, evaluator.py:306);
+  - normality embeddings come from `n_normality_images` train images
+    (default 3; the reference uses 1 at evaluator.py:207).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ssad_tpu import constants
+from ssad_tpu.config import AugConfig, EvalConfig
+from ssad_tpu.constants import EvaluationScores, ModelOutputs
+from ssad_tpu.data import mvtec
+from ssad_tpu.data.synthetic import SynthSpec
+from ssad_tpu.evaluation import metrics as M
+from ssad_tpu.evaluation import inference as inf
+from ssad_tpu.models.detector import AnomalyDetector
+from ssad_tpu.ops import image as im
+from ssad_tpu.ops import patches as patches_mod
+
+
+# --- library-level metric dispatch (reference tools.Evaluator) --------------
+
+
+class Evaluator:
+    """Metric dispatch over a ModelOutputs container
+    (reference tools.py:28-137), with the same mode-validity rules:
+    f1-score is image-level only, aupro/iou are patch-level only."""
+
+    def __init__(self, evaluation_metrics: Sequence[str] = ()):
+        unknown = set(evaluation_metrics) - set(constants.METRICS)
+        if unknown:
+            raise ValueError(
+                f"unknown metrics {sorted(unknown)}; valid: {list(constants.METRICS)}"
+            )
+        self.evaluation_metrics = tuple(evaluation_metrics)
+        self.scores = EvaluationScores()
+
+    def evaluate(
+        self,
+        outputs: ModelOutputs,
+        subject: str,
+        outputs_dir: Optional[str] = None,
+        patch_level: bool = False,
+        aupro_fpr_limit: float = 0.3,
+    ) -> EvaluationScores:
+        if patch_level:
+            labels = np.asarray(outputs.ground_truths).ravel()
+            scores = np.asarray(outputs.anomaly_maps).ravel()
+        else:
+            labels = np.asarray(outputs.y_true_binary).ravel()
+            scores = np.asarray(outputs.anomaly_maps).ravel()
+        threshold = M.optimal_f1_threshold(labels > 0, scores)
+
+        if "auroc" in self.evaluation_metrics:
+            fpr, tpr, _ = M.roc_curve(labels > 0, scores)
+            self.scores.auroc = M.auc(fpr, tpr)
+            if outputs_dir:
+                from ssad_tpu.evaluation import visualization as vis
+
+                name = f"{subject}_{'pixel' if patch_level else 'image'}_roc.png"
+                vis.plot_curve(fpr, tpr, self.scores.auroc, outputs_dir,
+                               f"Roc curve for {subject.upper()}", name)
+        if "f1-score" in self.evaluation_metrics:
+            if patch_level:
+                raise ValueError("'f1-score' is not valid in patch-level mode")
+            self.scores.f1_score = M.f1_score(labels > 0, scores, threshold)
+        if "aupro" in self.evaluation_metrics:
+            if not patch_level:
+                raise ValueError("'aupro' is not valid in image-level mode")
+            maps = np.asarray(outputs.anomaly_maps)
+            gts = np.asarray(outputs.ground_truths)
+            if maps.ndim == 4:
+                maps = maps[:, 0]
+            fprs, pros = M.compute_pro(maps, gts)
+            self.scores.aupro = M.compute_aupro(fprs, pros, aupro_fpr_limit)
+            if outputs_dir:
+                from ssad_tpu.evaluation import visualization as vis
+
+                vis.plot_curve(fprs, pros, self.scores.aupro, outputs_dir,
+                               f"Pro curve for {subject.upper()}", f"{subject}_pro.png")
+        if "iou" in self.evaluation_metrics:
+            if not patch_level:
+                raise ValueError("'iou' is not valid in image-level mode")
+            self.scores.iou = M.iou_score(labels, scores, threshold)
+        return self.scores
+
+
+# --- artificial (pretext) evaluation ----------------------------------------
+
+
+@dataclasses.dataclass
+class ArtificialScores:
+    accuracy: float
+    f1_macro: float
+    auroc_binary: float
+
+
+def evaluate_artificial(outputs: ModelOutputs) -> ArtificialScores:
+    """4-way pretext classification quality (reference
+    ArtificialEvaluator, evaluator.py:31-126): multiclass accuracy,
+    macro F1, and binary good-vs-defect AUROC from softmax scores."""
+    y = np.asarray(outputs.y_true_multiclass)
+    logits = np.asarray(outputs.raw_predictions, np.float64)
+    y_hat = np.argmax(logits, axis=1)
+    accuracy = float((y_hat == y).mean())
+    f1s = []
+    for c in np.unique(y):
+        f1s.append(M.f1_score(y == c, (y_hat == c).astype(float), 0.5))
+    probs = np.exp(logits - logits.max(axis=1, keepdims=True))
+    probs /= probs.sum(axis=1, keepdims=True)
+    defect_score = 1.0 - probs[:, 0]
+    auroc_bin = M.auroc(y > 0, defect_score)
+    return ArtificialScores(accuracy, float(np.mean(f1s)), auroc_bin)
+
+
+# --- per-category full evaluation -------------------------------------------
+
+
+@dataclasses.dataclass
+class CategoryResult:
+    subject: str
+    image_auroc: Optional[float] = None
+    image_f1: Optional[float] = None
+    pixel_auroc: Optional[float] = None
+    iou: Optional[float] = None
+    aupro: Optional[float] = None
+    artificial: Optional[ArtificialScores] = None
+    image_roc: Optional[Tuple[np.ndarray, np.ndarray]] = None
+    pixel_roc: Optional[Tuple[np.ndarray, np.ndarray]] = None
+    pro_curve: Optional[Tuple[np.ndarray, np.ndarray]] = None
+
+
+def evaluate_category(
+    engine: inf.InferenceEngine,
+    bank,
+    data: mvtec.PretextData,
+    test_data: mvtec.MVTecTestData,
+    cfg: EvalConfig,
+    subject: str,
+    outputs_dir: Optional[str] = None,
+    with_artificial: bool = True,
+    n_normality_images: int = 3,
+) -> CategoryResult:
+    result = CategoryResult(subject=subject)
+    h, w = cfg.imsize
+
+    if not cfg.patch_localization:
+        # --- image level (evaluator.py:243-281, :334-352) ---
+        outputs = inf.predict_mvtec(engine, test_data, batch_size=cfg.batch_size)
+        normality = inf.normality_embeddings(
+            engine, bank, data, batch_size=cfg.batch_size
+        )
+        outputs, detector = inf.attach_anomaly_scores(
+            outputs, normality, k=cfg.knn_k, seed=cfg.seed
+        )
+        labels = np.asarray(outputs.y_true_binary)
+        scores = np.asarray(outputs.anomaly_maps)
+        fpr, tpr, _ = M.roc_curve(labels > 0, scores)
+        result.image_auroc = M.auc(fpr, tpr)
+        result.image_roc = (fpr, tpr)
+        thr = M.optimal_f1_threshold(labels > 0, scores)
+        result.image_f1 = M.f1_score(labels > 0, scores, thr)
+
+        if with_artificial:
+            spec = SynthSpec(subject=subject, imsize=cfg.imsize, aug=AugConfig())
+            art = inf.predict_artificial(
+                engine, data, spec, num_samples=256, batch_size=cfg.batch_size,
+                seed=cfg.seed,
+            )
+            result.artificial = evaluate_artificial(art)
+            if outputs_dir:
+                from ssad_tpu.evaluation import visualization as vis
+
+                vis.plot_tsne(
+                    np.concatenate([np.asarray(art.embeddings), np.asarray(outputs.embeddings)]),
+                    np.concatenate([
+                        np.asarray(art.y_true_multiclass),
+                        np.asarray(outputs.y_true_multiclass),
+                    ]),
+                    outputs_dir, f"{subject.upper()} feature visualization",
+                    f"{subject}_tsne.png",
+                )
+        if outputs_dir:
+            from ssad_tpu.evaluation import visualization as vis
+
+            vis.plot_curve(fpr, tpr, result.image_auroc, outputs_dir,
+                           f"Roc curve for {subject.upper()}", f"{subject}_image_roc.png")
+    else:
+        # --- patch level (evaluator.py:286-374) ---
+        normality = inf.normality_embeddings(
+            engine, None, data, batch_size=4,
+            patch_localization=True, patch_dim=cfg.patch_dim, stride=cfg.stride,
+            min_bank_rows=10**9,  # patch mode always re-embeds (evaluator.py:297-300)
+            max_images=n_normality_images,
+        )
+        detector = AnomalyDetector(k=cfg.knn_k).fit(normality, jax.random.key(cfg.seed))
+
+        side = patches_mod.grid_side(h, cfg.patch_dim, cfg.stride)
+        maps_list = []
+        n = test_data.images.shape[0]
+        bs = max(1, min(8, cfg.batch_size))
+        for lo in range(0, n, bs):
+            raw = jnp.asarray(test_data.images[lo : lo + bs])
+            x = jax.vmap(im.normalize_imagenet)(raw)
+            _, emb, ppi = engine.predict_patches(x, cfg.patch_dim, cfg.stride)
+            scores = detector.predict(emb)  # (b·P,)
+            smaps = scores.reshape(raw.shape[0], side, side)
+            smaps = im.upsample_anomaly_maps(smaps, cfg.upsample_size)
+            maps_list.append(np.asarray(smaps))
+        anomaly_maps = np.concatenate(maps_list, axis=0)
+        gts = np.asarray(test_data.ground_truths)
+
+        labels_flat = gts.ravel()
+        scores_flat = np.nan_to_num(anomaly_maps.ravel())
+        fpr, tpr, _ = M.roc_curve(labels_flat > 0, scores_flat)
+        result.pixel_auroc = M.auc(fpr, tpr)
+        result.pixel_roc = (fpr, tpr)
+        thr = M.optimal_f1_threshold(labels_flat > 0, scores_flat)
+        result.iou = M.iou_score(labels_flat, scores_flat, thr)
+        fprs, pros = M.compute_pro(anomaly_maps, gts)
+        result.aupro = M.compute_aupro(fprs, pros, cfg.aupro_fpr_limit)
+        result.pro_curve = (fprs, pros)
+        if outputs_dir:
+            from ssad_tpu.evaluation import visualization as vis
+
+            vis.plot_curve(fpr, tpr, result.pixel_auroc, outputs_dir,
+                           f"Roc curve for {subject.upper()}", f"{subject}_pixel_roc.png")
+            vis.plot_curve(fprs, pros, result.aupro, outputs_dir,
+                           f"Pro curve for {subject.upper()}", f"{subject}_pro.png")
+    return result
+
+
+# --- the sweep ---------------------------------------------------------------
+
+
+def _rows_with_average(rows: Dict[str, List[float]], index: List[str]):
+    avg = {k: float(np.mean(v)) for k, v in rows.items()}
+    out = {k: list(v) + [avg[k]] for k, v in rows.items()}
+    return M.scores_dataframe(out, index=index + ["average"])
+
+
+def export_score_tables(df, tables_dir: str, stem: str):
+    for mode, sub, ext in (("csv", "csv", "csv"), ("latex", "latex", "tex"),
+                           ("markdown", "markdown", "md")):
+        M.export_dataframe(df, Path(tables_dir) / sub, f"{stem}.{ext}", mode)
+
+
+def evaluate_categories(
+    dataset_dir: str,
+    models_dir: str,
+    subjects: Sequence[str],
+    cfg: EvalConfig,
+    outputs_dir: str,
+    checkpoint_name: str = "best_model",
+) -> Dict[str, CategoryResult]:
+    """Sweep subjects, write per-category plots + aggregate tables
+    (reference evaluate(), evaluator.py:432-564)."""
+    results: Dict[str, CategoryResult] = {}
+    for subject in subjects:
+        engine, bank, _ = inf.load_engine(str(Path(models_dir) / subject / checkpoint_name))
+        data = mvtec.prepare_pretext_data(
+            dataset_dir, subject, imsize=cfg.imsize, seed=cfg.seed
+        )
+        test_data = mvtec.prepare_mvtec_test_data(dataset_dir, subject, imsize=cfg.imsize)
+        results[subject] = evaluate_category(
+            engine, bank, data, test_data, cfg, subject,
+            outputs_dir=str(Path(outputs_dir) / subject),
+        )
+
+    # aggregate tables: all / textures / objects (evaluator.py:496-564)
+    tables_dir = str(Path(outputs_dir) / "tables")
+    subjects = list(subjects)
+    if cfg.patch_localization:
+        rows = {
+            "AUC (pixel)": [results[s].pixel_auroc for s in subjects],
+            "IOU": [results[s].iou for s in subjects],
+            "AUPRO": [results[s].aupro for s in subjects],
+        }
+        stem = "patch"
+    else:
+        rows = {
+            "AUC (image)": [results[s].image_auroc for s in subjects],
+            "F1 (image)": [results[s].image_f1 for s in subjects],
+        }
+        stem = "image"
+    df = _rows_with_average(rows, subjects)
+    export_score_tables(df, tables_dir, f"{stem}_all_scores")
+
+    for group_name, group in (
+        ("textures", [s for s in subjects if constants.is_texture(s)]),
+        ("objects", [s for s in subjects if not constants.is_texture(s)]),
+    ):
+        if group:
+            sub_rows = {
+                k: [v[subjects.index(s)] for s in group] for k, v in rows.items()
+            }
+            gdf = _rows_with_average(sub_rows, group)
+            export_score_tables(gdf, tables_dir, f"{stem}_{group_name}_scores")
+    return results

@@ -1,0 +1,217 @@
+"""Inference orchestration: dataset prediction + anomaly scoring.
+
+Re-design of reference tools.inference (tools.py:310-390):
+  * `predict_images` runs the jitted forward over a dataset in fixed
+    batches and returns a ModelOutputs pytree (the reference loops a
+    Lightning Trainer.predict with batch_size=1);
+  * patch mode extracts the sliding-window grid in-graph and scores
+    every patch (models.py:211-216 / functional.py:77-82);
+  * normality selection: the memory bank when it holds enough rows,
+    else fresh embeddings of the train set.  (Reference quirk, kept out
+    deliberately: its bank test `shape[0] > 1000` can never fire since
+    the deque caps at exactly 1000 (models.py:281), and its fallback
+    embeds only the first dataloader batch (tools.py:379) — one image.
+    Here the fallback embeds the full train set, batched.)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ssad_tpu.config import EvalConfig, TrainConfig
+from ssad_tpu.constants import ModelOutputs
+from ssad_tpu.data import mvtec
+from ssad_tpu.data.synthetic import SynthSpec, make_synthesizer
+from ssad_tpu.models.detector import AnomalyDetector
+from ssad_tpu.models.peranet import PeraNet, build_model
+from ssad_tpu.ops import image as im
+from ssad_tpu.ops import patches as patches_mod
+from ssad_tpu.train.memory_bank import MemoryBank, newest_first
+from ssad_tpu.utils import convert
+
+
+@dataclasses.dataclass
+class InferenceEngine:
+    """Jitted forward passes for one trained model."""
+
+    model: PeraNet
+    params: Any
+    batch_stats: Any
+
+    def __post_init__(self):
+        variables = {"params": self.params, "batch_stats": self.batch_stats}
+
+        @jax.jit
+        def forward(x):
+            out = self.model.apply(variables, x, train=False)
+            return out["classifier"], out["latent_space"]
+
+        @functools.partial(jax.jit, static_argnames=("dim", "stride"))
+        def forward_patches(x, dim, stride):
+            # (B, H, W, 3) → (B·P, d, d, 3) → embeddings (B·P, 512)
+            p = patches_mod.extract_patches(x, dim=dim, stride=stride)
+            b, n = p.shape[0], p.shape[1]
+            flat = p.reshape((b * n,) + p.shape[2:])
+            logits, emb = forward(flat)
+            return logits, emb, n
+
+        self._forward = forward
+        self._forward_patches = forward_patches
+
+    def predict_batch(self, x_normalized) -> Tuple[jax.Array, jax.Array]:
+        return self._forward(jnp.asarray(x_normalized))
+
+    def predict_patches(self, x_normalized, dim: int = 32, stride: int = 8):
+        return self._forward_patches(jnp.asarray(x_normalized), dim, stride)
+
+
+def predict_mvtec(
+    engine: InferenceEngine,
+    data: mvtec.MVTecTestData,
+    batch_size: int = 32,
+    patch_localization: bool = False,
+    patch_dim: int = 32,
+    stride: int = 8,
+) -> ModelOutputs:
+    """Forward the real MVTec test set (reference predict_step mvtec
+    branch, models.py:314-317, and the patch path of evaluator.py:286-332).
+    """
+    chunks = []
+    n = data.images.shape[0]
+    num_classes = engine.model.num_classes
+    for lo in range(0, n, batch_size):
+        raw = jnp.asarray(data.images[lo : lo + batch_size])
+        x = jax.vmap(im.normalize_imagenet)(raw)
+        out = ModelOutputs(original_data=raw, tensor_data=x)
+        gts = jnp.asarray(data.ground_truths[lo : lo + batch_size])
+        out.ground_truths = gts
+        out.y_true_binary = convert.gt2label(gts)
+        out.y_true_multiclass = convert.gt2label(gts, negative=-1, positive=num_classes)
+        if patch_localization:
+            logits, emb, _ = engine.predict_patches(x, patch_dim, stride)
+        else:
+            logits, emb = engine.predict_batch(x)
+        out.raw_predictions = logits
+        out.embeddings = emb
+        out.y_hat = convert.prediction_class(logits)
+        chunks.append(out)
+    return ModelOutputs.concat(chunks)
+
+
+def predict_artificial(
+    engine: InferenceEngine,
+    data: mvtec.PretextData,
+    spec: SynthSpec,
+    num_samples: int = 500,
+    batch_size: int = 32,
+    seed: int = 0,
+) -> ModelOutputs:
+    """Forward synthetic pretext batches built from the *test-good*
+    split (reference inference with mvtec_inference=False,
+    tools.py:339-345, and predict_step's artificial branch,
+    models.py:318-320)."""
+    from ssad_tpu.data.synthetic import batched_synthesizer
+
+    synth = jax.jit(batched_synthesizer(spec, per_image_masks=False))
+    images = jnp.asarray(data.val_images if len(data.val_images) else data.train_images)
+    pool = jnp.asarray(data.cut_pool)
+    mask = jnp.asarray(data.fixed_mask)
+    coords = jnp.asarray(data.fixed_coords)
+    count = jnp.int32(data.fixed_count)
+    rng = jax.random.key(seed)
+    chunks = []
+    remaining = num_samples
+    while remaining > 0:
+        b = min(batch_size, remaining)
+        rng, k_idx, k_syn = jax.random.split(rng, 3)
+        idx = jax.random.randint(k_idx, (b,), 0, images.shape[0])
+        keys = jax.random.split(k_syn, b)
+        x, y, orig = synth(
+            keys, images[idx], pool, jnp.int32(pool.shape[0]), mask, coords, count
+        )
+        logits, emb = engine.predict_batch(x)
+        out = ModelOutputs(
+            original_data=orig,
+            tensor_data=x,
+            y_true_multiclass=y,
+            y_true_binary=convert.multiclass2binary(y),
+            raw_predictions=logits,
+            embeddings=emb,
+            y_hat=convert.prediction_class(logits),
+        )
+        chunks.append(out)
+        remaining -= b
+    return ModelOutputs.concat(chunks)
+
+
+def normality_embeddings(
+    engine: InferenceEngine,
+    bank: Optional[MemoryBank],
+    data: mvtec.PretextData,
+    batch_size: int = 32,
+    patch_localization: bool = False,
+    patch_dim: int = 32,
+    stride: int = 8,
+    min_bank_rows: int = 100,
+    max_images: Optional[int] = None,
+) -> jax.Array:
+    """Normality source: bank when populated, else train-set embeddings
+    (tools.py:359-381; see module docstring for the deviations)."""
+    if bank is not None and int(bank.count) >= min_bank_rows:
+        return jnp.asarray(newest_first(bank))
+    images = data.train_images
+    if max_images is not None:
+        images = images[:max_images]
+    embs = []
+    for lo in range(0, images.shape[0], batch_size):
+        x = jax.vmap(im.normalize_imagenet)(jnp.asarray(images[lo : lo + batch_size]))
+        if patch_localization:
+            _, emb, _ = engine.predict_patches(x, patch_dim, stride)
+        else:
+            _, emb = engine.predict_batch(x)
+        embs.append(emb)
+    return jnp.concatenate(embs, axis=0)
+
+
+def attach_anomaly_scores(
+    outputs: ModelOutputs,
+    normality: jax.Array,
+    patch_localization: bool = False,
+    num_images: Optional[int] = None,
+    patches_per_image: Optional[int] = None,
+    k: int = 3,
+    seed: int = 0,
+) -> Tuple[ModelOutputs, AnomalyDetector]:
+    """Fit the detector on normality and score `outputs.embeddings`
+    (tools.py:351-389)."""
+    detector = AnomalyDetector(
+        patch_level=patch_localization,
+        batch=num_images,
+        num_patches=patches_per_image,
+        k=k,
+    )
+    detector.fit(normality, jax.random.key(seed))
+    outputs.anomaly_maps = detector.predict(outputs.embeddings)
+    return outputs, detector
+
+
+def load_engine(checkpoint_path: str) -> Tuple[InferenceEngine, Optional[MemoryBank], Optional[TrainConfig]]:
+    """Build an InferenceEngine from a saved checkpoint directory."""
+    from ssad_tpu.train.checkpoint import load_checkpoint
+
+    params, batch_stats, bank, cfg = load_checkpoint(checkpoint_path)
+    model = build_model(cfg.model) if cfg is not None else build_model(
+        __import__("ssad_tpu.config", fromlist=["ModelConfig"]).ModelConfig()
+    )
+    return InferenceEngine(model, params, batch_stats), bank, cfg
+
+
+def upsample(anomaly_maps, target_size: int = 256):
+    """Blur → ReLU → bilinear upsample (reference tools.py:394-399)."""
+    return im.upsample_anomaly_maps(anomaly_maps, target_size)

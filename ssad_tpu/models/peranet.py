@@ -7,7 +7,10 @@ Functional re-design of the reference LightningModule (models.py:21-341):
   flatten to a big batch), not by module state flags
   (models.py:211-216);
 * the memory bank lives in the train state as an on-device ring buffer
-  (train/memory_bank.py), not a CPU deque.
+  (train/memory_bank.py), not a CPU deque;
+* `backbone_features` / `head` are separately applyable methods so
+  Grad-CAM can differentiate the head w.r.t. layer-4 activations with
+  plain jax.grad — no forward/backward hooks (cf. gradcam.py:14-23).
 
 Architecture parity (models.py:58-99, :132-146):
   backbone  resnet18, fc → Identity                       → f4 (512)
@@ -30,12 +33,11 @@ from ssad_tpu.config import ModelConfig
 from ssad_tpu.models.resnet import ResNet18
 from ssad_tpu.ops.image import resize_nearest
 
-_TAP_DIMS = {"layer1": 64, "layer2": 128, "layer3": 256}
-
 
 class PeraNet(nn.Module):
-    """Returns {'classifier': (B, num_classes), 'latent_space': (B, 512)}
-    like the reference forward (models.py:251-253)."""
+    """__call__ returns {'classifier': (B, num_classes),
+    'latent_space': (B, 512)} like the reference forward
+    (models.py:251-253)."""
 
     num_classes: int = 4
     layer_outputs: Sequence[str] = ("layer2", "layer3")
@@ -43,42 +45,60 @@ class PeraNet(nn.Module):
     latent_dim: int = 512
     compute_dtype: Any = jnp.bfloat16
 
-    @nn.compact
-    def __call__(self, x, train: bool = True) -> Dict[str, jax.Array]:
-        # inputs below 64px are nearest-upsampled (models.py:218-219)
+    def setup(self):
+        self.backbone = ResNet18(dtype=self.compute_dtype, name="backbone")
+        self.concatenator_dense = nn.Dense(
+            self.latent_dim, use_bias=False, name="concatenator_dense"
+        )
+        self.concatenator_bn = nn.BatchNorm(momentum=0.9, epsilon=1e-5, name="concatenator_bn")
+        # (latent_space_layers - 2) ReLU blocks + projection
+        # (models.py:65-88 via the size arithmetic at :137-141)
+        n_blocks = max(self.latent_space_layers - 2, 0)
+        self.latent_denses = [
+            nn.Dense(self.latent_dim, use_bias=False, name=f"latent_{i}_dense")
+            for i in range(n_blocks)
+        ]
+        self.latent_bns = [
+            nn.BatchNorm(momentum=0.9, epsilon=1e-5, name=f"latent_{i}_bn")
+            for i in range(n_blocks)
+        ]
+        self.latent_out_dense = nn.Dense(self.latent_dim, use_bias=True, name="latent_out_dense")
+        self.latent_out_bn = nn.BatchNorm(momentum=0.9, epsilon=1e-5, name="latent_out_bn")
+        self.classifier_head = nn.Dense(self.num_classes, name="classifier")
+
+    def backbone_features(self, x, train: bool = True) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+        """(pooled (B, 512), {'layer1'..'layer4': NHWC feature maps}).
+
+        Inputs below 64px are nearest-upsampled first (models.py:218-219).
+        """
         if x.shape[1] < 64 or x.shape[2] < 64:
             x = jax.vmap(lambda i: resize_nearest(i, (64, 64)))(x)
+        return self.backbone(x, train=train)
 
-        pooled, feats = ResNet18(dtype=self.compute_dtype, name="backbone")(x, train=train)
-
+    def head(self, feats: Dict[str, jax.Array], pooled: jax.Array, train: bool = True):
+        """Concat head → latent MLP → classifier, from feature maps."""
+        ura = not train
         parts = []
         for tap in self.layer_outputs:  # concat order [f2, f3, f4] (models.py:240-245)
-            f = jnp.mean(feats[tap], axis=(1, 2))  # adaptive_avg_pool2d → (B, C)
-            parts.append(f.astype(jnp.float32))
+            f = jnp.mean(feats[tap], axis=(1, 2), dtype=jnp.float32)
+            parts.append(f)
         parts.append(pooled)
         features = jnp.concatenate(parts, axis=-1)
 
-        norm = lambda name: nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name
-        )
-
-        # concatenator: Dense(896→512, no bias) + BN (models.py:91-95)
-        h = nn.Dense(self.latent_dim, use_bias=False, name="concatenator_dense")(features)
-        h = norm("concatenator_bn")(h)
-
-        # latent space: (latent_space_layers - 2) × [Dense+BN+ReLU] then
-        # Dense(bias)+BN (models.py:65-88 via the -1/-1 size arithmetic
-        # at :137-141: 5 layers → 3 ReLU blocks + final projection)
-        n_blocks = max(self.latent_space_layers - 2, 0)
-        for i in range(n_blocks):
-            h = nn.Dense(self.latent_dim, use_bias=False, name=f"latent_{i}_dense")(h)
-            h = norm(f"latent_{i}_bn")(h)
+        h = self.concatenator_dense(features)
+        h = self.concatenator_bn(h, use_running_average=ura)
+        for dense, bn in zip(self.latent_denses, self.latent_bns):
+            h = dense(h)
+            h = bn(h, use_running_average=ura)
             h = nn.relu(h)
-        h = nn.Dense(self.latent_dim, use_bias=True, name="latent_out_dense")(h)
-        embedding = norm("latent_out_bn")(h)
-
-        logits = nn.Dense(self.num_classes, name="classifier")(embedding)
+        h = self.latent_out_dense(h)
+        embedding = self.latent_out_bn(h, use_running_average=ura)
+        logits = self.classifier_head(embedding)
         return {"classifier": logits, "latent_space": embedding}
+
+    def __call__(self, x, train: bool = True) -> Dict[str, jax.Array]:
+        pooled, feats = self.backbone_features(x, train=train)
+        return self.head(feats, pooled, train=train)
 
 
 def build_model(cfg: ModelConfig) -> PeraNet:

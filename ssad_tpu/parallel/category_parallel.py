@@ -1,0 +1,171 @@
+"""Category-parallel training: C independent models as one SPMD program.
+
+MVTec trains 15 independent per-category models (the reference trains
+them one at a time on one GPU; tools.py:204 is called per subject).
+TPU-natively, the models are *stacked*: every parameter, optimizer and
+memory-bank leaf gains a leading category axis, the per-category train
+step is vmapped over it, and the stack is sharded over the mesh's
+'model' axis while each category's batch is data-parallel over 'data'.
+XLA inserts the gradient all-reduces over ICI; categories never
+communicate (embarrassingly parallel, DCN-safe).
+
+The fused step = synthesis + fwd/bwd + SGD + bank insert, identical
+math to train/trainer.py's single-category step.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ssad_tpu.config import TrainConfig
+from ssad_tpu.data.synthetic import SynthSpec, batched_synthesizer
+from ssad_tpu.models.peranet import build_model, init_model
+from ssad_tpu.train import optim as optim_mod
+from ssad_tpu.train.memory_bank import MemoryBank, init_bank, insert
+
+
+class StackedState(NamedTuple):
+    """TrainState with a leading category axis on every leaf."""
+
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    bank: MemoryBank
+    step: jax.Array
+
+
+class CategoryData(NamedTuple):
+    """Per-category device data, stacked on axis 0 (C categories with
+    identical shapes — images padded/subsampled to a common N)."""
+
+    images: jax.Array  # (C, N, H, W, 3)
+    cut_pool: jax.Array  # (K, H, W, 3), shared
+    masks: jax.Array  # (C, H, W)
+    coords: jax.Array  # (C, H·W, 2)
+    counts: jax.Array  # (C,)
+
+
+def make_multi_category_step(
+    cfg: TrainConfig,
+    spec: SynthSpec,
+    mesh: Mesh,
+    stage: str = "fine_tune",
+):
+    """Build (init_fn, step_fn) for the stacked trainer.
+
+    step_fn(state, keys (C,), data, fill) → (state, metrics (C, 2)).
+    All array programs are written in global view; shardings are
+    annotated and XLA lowers the collectives (scaling-book recipe).
+    """
+    model = build_model(cfg.model)
+    tx = optax.chain(
+        optax.add_decayed_weights(cfg.optim.weight_decay),
+        optax.trace(decay=cfg.optim.momentum),
+        optax.scale_by_learning_rate(
+            cfg.optim.fine_tune_lr if stage == "fine_tune" else cfg.optim.projection_lr
+        ),
+    )
+    synth = batched_synthesizer(spec, per_image_masks=False)
+    b = cfg.data.batch_size
+
+    model_sharding = NamedSharding(mesh, P("model"))
+    replicated = NamedSharding(mesh, P())
+    batch_spec = P("model", "data")
+
+    def init_fn(rng) -> StackedState:
+        n_cat = mesh.shape["model"] * 1  # logical category count = stack size
+
+        def one(key):
+            params, stats = init_model(model, key, (1, 64, 64, 3))
+            return params, stats, tx.init(params), init_bank(
+                cfg.model.memory_bank_size, cfg.model.latent_dim
+            )
+
+        keys = jax.random.split(rng, n_cat)
+        params, stats, opt, bank = jax.vmap(one)(keys)
+        state = StackedState(params, stats, opt, bank, jnp.zeros((), jnp.int32))
+        shardings = jax.tree_util.tree_map(lambda _: model_sharding, state)
+        shardings = shardings._replace(step=replicated)
+        return jax.device_put(state, shardings)
+
+    def per_category_step(params, batch_stats, opt_state, bank, key, images, cut_pool,
+                          mask, coords, count, fill):
+        k_idx, k_syn = jax.random.split(key)
+        idx = jax.random.randint(k_idx, (b,), 0, images.shape[0])
+        keys = jax.random.split(k_syn, b)
+        x, y, _ = synth(keys, images[idx], cut_pool, jnp.int32(cut_pool.shape[0]),
+                        mask, coords, count)
+        # shard the per-category batch across 'data'
+        x = jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P("data")))
+
+        def loss_fn(p):
+            out, mutated = model.apply(
+                {"params": p, "batch_stats": batch_stats}, x, train=True,
+                mutable=["batch_stats"],
+            )
+            loss = optax.softmax_cross_entropy_with_integer_labels(
+                out["classifier"], y
+            ).mean()
+            return loss, (mutated["batch_stats"], out["classifier"], out["latent_space"])
+
+        (loss, (new_stats, logits, emb)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        y_hat = jnp.argmax(logits, axis=-1)
+        acc = jnp.mean((y_hat == y).astype(jnp.float32))
+        mask_fill = (y == 0) & (y_hat == 0) & fill
+        new_bank = insert(bank, emb.astype(jnp.float32), mask_fill)
+        return new_params, new_stats, new_opt, new_bank, jnp.stack([loss, acc])
+
+    @functools.partial(
+        jax.jit,
+        donate_argnums=(0,),
+    )
+    def step_fn(state: StackedState, keys, data: CategoryData, fill):
+        params, stats, opt, bank, metrics = jax.vmap(
+            per_category_step,
+            in_axes=(0, 0, 0, 0, 0, 0, None, 0, 0, 0, None),
+        )(
+            state.params, state.batch_stats, state.opt_state, state.bank,
+            keys, data.images, data.cut_pool, data.masks, data.coords,
+            data.counts, fill,
+        )
+        new_state = StackedState(params, stats, opt, bank, state.step + 1)
+        shardings = jax.tree_util.tree_map(lambda _: model_sharding, new_state)
+        shardings = shardings._replace(step=replicated)
+        new_state = jax.lax.with_sharding_constraint(new_state, shardings)
+        return new_state, metrics
+
+    return init_fn, step_fn
+
+
+def stack_category_data(datas, mesh: Mesh) -> CategoryData:
+    """Stack per-category PretextData onto the device mesh.
+
+    Image counts are equalized to the minimum N across categories
+    (sampling is with replacement, so truncation only reduces variety).
+    """
+    n = min(d.train_images.shape[0] for d in datas)
+    images = np.stack([d.train_images[:n] for d in datas])
+    masks = np.stack([d.fixed_mask for d in datas])
+    coords = np.stack([d.fixed_coords for d in datas])
+    counts = np.asarray([d.fixed_count for d in datas], np.int32)
+    pool = datas[0].cut_pool
+    model_sharding = NamedSharding(mesh, P("model"))
+    repl = NamedSharding(mesh, P())
+    return CategoryData(
+        images=jax.device_put(jnp.asarray(images), model_sharding),
+        cut_pool=jax.device_put(jnp.asarray(pool), repl),
+        masks=jax.device_put(jnp.asarray(masks), model_sharding),
+        coords=jax.device_put(jnp.asarray(coords), model_sharding),
+        counts=jax.device_put(jnp.asarray(counts), model_sharding),
+    )

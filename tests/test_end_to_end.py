@@ -1,0 +1,124 @@
+"""Full-stack integration: train → checkpoint → evaluate → localize,
+on the fake MVTec tree, via the library API and the CLI."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from ssad_tpu import config
+from ssad_tpu.data import mvtec
+from ssad_tpu.evaluation import inference as inf
+from ssad_tpu.evaluation.evaluator import evaluate_category
+from ssad_tpu.evaluation.localizer import Localizer
+from ssad_tpu.train import checkpoint as ckpt_mod
+from ssad_tpu.train.trainer import train_category
+
+
+@pytest.fixture(scope="module")
+def trained_checkpoint(fake_mvtec, tmp_path_factory):
+    out = tmp_path_factory.mktemp("models")
+    cfg = config.TrainConfig(
+        data=config.DataConfig(
+            dataset_dir=str(fake_mvtec), subject="bottle", imsize=(64, 64),
+            batch_size=8, min_dataset_length=16,
+        ),
+        model=config.ModelConfig(compute_dtype="float32", memory_bank_size=128),
+        optim=config.OptimConfig(projection_epochs=1, fine_tune_epochs=2,
+                                 checkpoint_every_n_epochs=1),
+        outputs_dir=str(out),
+    )
+    result = train_category(cfg, verbose=False)
+    path = ckpt_mod.save_checkpoint(
+        out / "bottle", result.params, result.batch_stats, result.bank, cfg
+    )
+    return Path(path), cfg
+
+
+@pytest.mark.slow
+class TestEvaluatePipeline:
+    def test_image_level(self, fake_mvtec, trained_checkpoint, tmp_path):
+        path, cfg = trained_checkpoint
+        engine, bank, cfg2 = inf.load_engine(str(path))
+        assert cfg2.data.subject == "bottle"
+        data = mvtec.prepare_pretext_data(fake_mvtec, "bottle", imsize=(64, 64))
+        test = mvtec.prepare_mvtec_test_data(fake_mvtec, "bottle", imsize=(64, 64))
+        ecfg = config.EvalConfig(imsize=(64, 64), batch_size=8, upsample_size=64)
+        r = evaluate_category(
+            engine, bank, data, test, ecfg, "bottle",
+            outputs_dir=str(tmp_path), with_artificial=True,
+        )
+        assert r.image_auroc is not None and 0.0 <= r.image_auroc <= 1.0
+        assert r.image_f1 is not None
+        assert r.artificial is not None and 0.0 <= r.artificial.accuracy <= 1.0
+        assert (tmp_path / "bottle_image_roc.png").exists()
+        assert (tmp_path / "bottle_tsne.png").exists()
+
+    def test_patch_level(self, fake_mvtec, trained_checkpoint, tmp_path):
+        path, cfg = trained_checkpoint
+        engine, bank, _ = inf.load_engine(str(path))
+        data = mvtec.prepare_pretext_data(fake_mvtec, "bottle", imsize=(64, 64))
+        test = mvtec.prepare_mvtec_test_data(fake_mvtec, "bottle", imsize=(64, 64))
+        ecfg = config.EvalConfig(
+            patch_localization=True, patch_dim=16, stride=16,
+            imsize=(64, 64), batch_size=8, upsample_size=64,
+        )
+        r = evaluate_category(
+            engine, bank, data, test, ecfg, "bottle", outputs_dir=str(tmp_path),
+            n_normality_images=2,
+        )
+        assert r.pixel_auroc is not None and 0.0 <= r.pixel_auroc <= 1.0
+        assert r.iou is not None and r.aupro is not None
+        assert (tmp_path / "bottle_pro.png").exists()
+
+    def test_localizer_both_modes(self, fake_mvtec, trained_checkpoint, tmp_path):
+        path, _ = trained_checkpoint
+        engine, bank, _ = inf.load_engine(str(path))
+        data = mvtec.prepare_pretext_data(fake_mvtec, "bottle", imsize=(64, 64))
+        test = mvtec.prepare_mvtec_test_data(fake_mvtec, "bottle", imsize=(64, 64))
+        for patch in (False, True):
+            ecfg = config.EvalConfig(
+                patch_localization=patch, patch_dim=16, stride=16,
+                imsize=(64, 64), upsample_size=64,
+            )
+            loc = Localizer(engine, ecfg).setup(data, n_train_images=2)
+            paths = loc.localize(test, str(tmp_path / f"loc_{patch}"), num_images=2)
+            assert len(paths) == 2
+            for p in paths:
+                assert Path(p).exists()
+            amap, mask = loc.localize_single_image(test.images[0])
+            assert amap.shape == (64, 64)
+            assert mask.dtype == bool
+
+
+@pytest.mark.slow
+class TestCli:
+    def test_train_qa_evaluate(self, fake_mvtec, tmp_path):
+        from ssad_tpu.cli import main
+
+        out = tmp_path / "out"
+        rc = main([
+            "train", "--dataset-dir", str(fake_mvtec), "--outputs-dir", str(out),
+            "--subject", "carpet", "--imsize", "64", "--batch-size", "8",
+            "--projection-epochs", "1", "--fine-tune-epochs", "1", "--quiet",
+        ])
+        assert rc == 0
+        assert (out / "carpet" / "best_model").exists()
+
+        rc = main([
+            "qa", "--dataset-dir", str(fake_mvtec), "--outputs-dir", str(out),
+            "--subject", "carpet", "--imsize", "64",
+        ])
+        assert rc == 0
+        assert (out / "carpet" / "dataset_analysis" / "carpet_augmentations.png").exists()
+
+        rc = main([
+            "evaluate", "--dataset-dir", str(fake_mvtec), "--models-dir", str(out),
+            "--outputs-dir", str(out / "eval"), "--subjects", "carpet",
+            "--imsize", "64", "--batch-size", "8",
+        ])
+        assert rc == 0
+        table = out / "eval" / "tables" / "markdown" / "image_all_scores.md"
+        assert table.exists()
+        assert "carpet" in table.read_text()

@@ -1,0 +1,95 @@
+"""Mesh + category-parallel training tests on the 8-device CPU backend."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ssad_tpu.config import DataConfig, ModelConfig, OptimConfig, TrainConfig
+from ssad_tpu.data.masks import pack_coords
+from ssad_tpu.data.synthetic import SynthSpec
+from ssad_tpu.parallel import mesh as mesh_mod
+from ssad_tpu.parallel.category_parallel import (
+    CategoryData,
+    make_multi_category_step,
+)
+
+
+class TestMesh:
+    def test_make_mesh_shapes(self):
+        m = mesh_mod.make_mesh(n_model=2)
+        assert m.shape["model"] == 2
+        assert m.shape["data"] == len(jax.devices()) // 2
+
+    def test_indivisible_raises(self):
+        with pytest.raises(ValueError):
+            mesh_mod.make_mesh(n_model=3, devices=jax.devices()[:8])
+
+    def test_batch_sharding(self):
+        m = mesh_mod.make_mesh(n_model=1)
+        x = jnp.ones((16, 4))
+        xs = mesh_mod.shard_batch(m, x)
+        assert xs.sharding.spec == jax.sharding.PartitionSpec("data")
+
+
+@pytest.mark.slow
+class TestCategoryParallel:
+    def _setup(self, n_model=2):
+        mesh = mesh_mod.make_mesh(n_model=n_model)
+        h = w = 64
+        cfg = TrainConfig(
+            data=DataConfig(imsize=(h, w), batch_size=8),
+            model=ModelConfig(memory_bank_size=32, compute_dtype="float32"),
+            optim=OptimConfig(),
+        )
+        spec = SynthSpec(subject="bottle", imsize=(h, w))
+        init_fn, step_fn = make_multi_category_step(cfg, spec, mesh)
+
+        rng = np.random.default_rng(0)
+        mask = np.zeros((h, w), np.float32)
+        mask[8:-8, 8:-8] = 1.0
+        coords, count = pack_coords(mask.astype(np.uint8))
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ms = NamedSharding(mesh, P("model"))
+        repl = NamedSharding(mesh, P())
+        data = CategoryData(
+            images=jax.device_put(
+                jnp.asarray(rng.random((n_model, 4, h, w, 3), np.float32)), ms
+            ),
+            cut_pool=jax.device_put(jnp.asarray(rng.random((2, h, w, 3), np.float32)), repl),
+            masks=jax.device_put(jnp.broadcast_to(jnp.asarray(mask), (n_model, h, w)), ms),
+            coords=jax.device_put(
+                jnp.broadcast_to(jnp.asarray(coords), (n_model,) + coords.shape), ms
+            ),
+            counts=jax.device_put(jnp.full((n_model,), count, jnp.int32), ms),
+        )
+        return mesh, init_fn, step_fn, data, ms
+
+    def test_step_runs_and_is_sharded(self):
+        mesh, init_fn, step_fn, data, ms = self._setup()
+        state = init_fn(jax.random.key(0))
+        # parameters sharded over the model axis
+        leaf = jax.tree_util.tree_leaves(state.params)[0]
+        assert leaf.sharding.spec[0] == "model"
+        keys = jax.device_put(jax.random.split(jax.random.key(1), 2), ms)
+        state2, metrics = step_fn(state, keys, data, jnp.asarray(False))
+        m = np.asarray(metrics)
+        assert m.shape == (2, 2)
+        assert np.isfinite(m).all()
+        # categories evolve independently → different losses
+        assert m[0, 0] != m[1, 0]
+
+    def test_multiple_steps_stable(self):
+        mesh, init_fn, step_fn, data, ms = self._setup()
+        state = init_fn(jax.random.key(0))
+        losses = []
+        for i in range(6):
+            keys = jax.device_put(jax.random.split(jax.random.key(i + 1), 2), ms)
+            state, metrics = step_fn(state, keys, data, jnp.asarray(i > 3))
+            losses.append(float(np.asarray(metrics)[:, 0].mean()))
+        assert np.isfinite(losses).all()
+        assert int(state.step) == 6
+        # losses move (optimizer actually updates) but stay bounded
+        assert losses[0] != losses[-1]
+        assert max(losses) < 50.0
