@@ -109,6 +109,14 @@ class Trainer:
         x, y, orig = jax.vmap(self.synth, in_axes=axes)(
             keys, batch_imgs, pool, n_cut, m, c, cnt
         )
+        if self.mesh is not None:
+            # data-parallel: shard the synthesized batch; XLA inserts the
+            # gradient all-reduce over ICI in the backward pass
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sharding = NamedSharding(self.mesh, P("data"))
+            x = jax.lax.with_sharding_constraint(x, sharding)
+            y = jax.lax.with_sharding_constraint(y, NamedSharding(self.mesh, P("data")))
         return x, y
 
     # --- fused train / eval steps ---------------------------------------
@@ -221,6 +229,8 @@ class Trainer:
         rng: jax.Array,
         result: TrainResult,
         log_every: Optional[int] = None,
+        start_epoch: int = 0,
+        on_epoch_end=None,
     ) -> TrainState:
         train_step, eval_step, tx, steps_per_epoch = self._get_step_fns(stage)
         tr = self._device_data("train")
@@ -235,13 +245,23 @@ class Trainer:
         )
         ckpt_every = self.cfg.optim.checkpoint_every_n_epochs
 
+        import time as _time
+
         for epoch in range(epochs):
+            if epoch < start_epoch:
+                continue
             fill = jnp.asarray(epoch > epochs // 2)  # models.py:270
             metrics_acc = []
+            t_epoch = _time.perf_counter()
             for s in range(steps_per_epoch):
                 rng, k = jax.random.split(rng)
                 state, metrics = train_step(state, k, *tr, fill)
                 metrics_acc.append(metrics)
+            jax.block_until_ready(metrics_acc[-1]["loss"])
+            dt = _time.perf_counter() - t_epoch
+            result.history.setdefault(f"{stage}_images_per_sec", []).append(
+                steps_per_epoch * self.cfg.data.batch_size / max(dt, 1e-9)
+            )
             train_loss = float(jnp.mean(jnp.stack([m["loss"] for m in metrics_acc])))
             train_acc = float(jnp.mean(jnp.stack([m["accuracy"] for m in metrics_acc])))
 
@@ -268,41 +288,128 @@ class Trainer:
                         lambda a: np.asarray(a), state.batch_stats
                     )
             if log_every and (epoch % log_every == 0 or epoch == epochs - 1):
+                ips = result.history[f"{stage}_images_per_sec"][-1]
                 print(
                     f"[{self.cfg.data.subject}/{stage}] epoch {epoch + 1}/{epochs} "
                     f"loss {train_loss:.4f} acc {train_acc:.3f} "
                     f"val_loss {val_loss:.4f} val_acc {val_acc:.3f} "
-                    f"bank {int(state.bank.count)}"
+                    f"bank {int(state.bank.count)} ({ips:,.0f} img/s)"
                 )
+            if on_epoch_end is not None:
+                on_epoch_end(stage, epoch, state, rng, result)
         return state
 
-    def fit(self, seed: int = 0, verbose: bool = True) -> TrainResult:
-        """Full two-phase training (reference tools.training, :204-306)."""
+    # --- resume snapshots (aux subsystem absent in the reference:
+    # crashes kill its runs, SURVEY.md §5.3; here every epoch can
+    # checkpoint the FULL state — params, BN stats, optimizer, bank,
+    # RNG key, history — and fit() continues from it) -----------------
+
+    @staticmethod
+    def _snapshot_path(resume_dir) -> "Path":
+        from pathlib import Path
+
+        return Path(resume_dir) / "resume_snapshot.pkl"
+
+    def save_resume_snapshot(self, resume_dir, stage, epoch, state, rng, result):
+        import pickle
+        from pathlib import Path
+
+        to_np = lambda t: jax.tree_util.tree_map(lambda a: np.asarray(a), t)
+        payload = {
+            "stage": stage,
+            "epoch": epoch,
+            "state": to_np(state),
+            "rng": np.asarray(jax.random.key_data(rng)),
+            "history": result.history,
+            "best_val_loss": result.best_val_loss,
+            "best_params": to_np(result.best_params) if result.best_params else None,
+            "best_batch_stats": to_np(result.best_batch_stats)
+            if result.best_batch_stats
+            else None,
+        }
+        Path(resume_dir).mkdir(parents=True, exist_ok=True)
+        path = self._snapshot_path(resume_dir)
+        tmp = path.with_suffix(".tmp")
+        with open(tmp, "wb") as f:
+            pickle.dump(payload, f)
+        tmp.replace(path)  # atomic: a crash never corrupts the snapshot
+        return str(path)
+
+    def load_resume_snapshot(self, resume_dir):
+        import pickle
+
+        with open(self._snapshot_path(resume_dir), "rb") as f:
+            return pickle.load(f)
+
+    def fit(
+        self,
+        seed: int = 0,
+        verbose: bool = True,
+        resume_dir: Optional[str] = None,
+    ) -> TrainResult:
+        """Full two-phase training (reference tools.training, :204-306).
+
+        resume_dir: when set, an end-of-epoch snapshot is written there
+        and an existing snapshot is continued from (epoch granularity).
+        """
         rng = jax.random.key(seed)
         rng, k_init = jax.random.split(rng)
         result = TrainResult(params=None, batch_stats=None, bank=None, history={})
 
-        # phase 1: projection-head training, frozen backbone
-        state = self.init_state(k_init, "projection")
-        rng, k_stage = jax.random.split(rng)
-        state = self.run_stage(
-            state, "projection", self.cfg.optim.projection_epochs, k_stage, result,
-            log_every=1 if verbose else None,
-        )
+        resume = None
+        if resume_dir is not None and self._snapshot_path(resume_dir).exists():
+            resume = self.load_resume_snapshot(resume_dir)
+            result.history = resume["history"]
+            result.best_val_loss = resume["best_val_loss"]
+            result.best_params = resume["best_params"]
+            result.best_batch_stats = resume["best_batch_stats"]
 
-        # bank is cleared between phases (tools.py:273)
-        bank = init_bank(self.cfg.model.memory_bank_size, self.cfg.model.latent_dim)
+        on_epoch_end = None
+        if resume_dir is not None:
+            on_epoch_end = lambda stage, epoch, state, rng_, res: self.save_resume_snapshot(
+                resume_dir, stage, epoch + 1, state, rng_, res
+            )
+
+        log = 1 if verbose else None
+
+        def restore_state(snap):
+            s = snap["state"]
+            state = jax.tree_util.tree_map(jnp.asarray, TrainState(*s))
+            key = jax.random.wrap_key_data(jnp.asarray(snap["rng"]))
+            return state, key
+
+        # phase 1: projection-head training, frozen backbone
+        if resume is None or resume["stage"] == "projection":
+            if resume is None:
+                state = self.init_state(k_init, "projection")
+                rng, k_stage = jax.random.split(rng)
+                start = 0
+            else:
+                self.init_state(k_init, "projection")  # build step fns/template
+                state, k_stage = restore_state(resume)
+                start = resume["epoch"]
+            state = self.run_stage(
+                state, "projection", self.cfg.optim.projection_epochs, k_stage,
+                result, log_every=log, start_epoch=start, on_epoch_end=on_epoch_end,
+            )
+            # bank is cleared between phases (tools.py:273)
+            bank = init_bank(self.cfg.model.memory_bank_size, self.cfg.model.latent_dim)
+            _, _, tx2, _ = self._get_step_fns("fine_tune")
+            state = TrainState(
+                state.params, state.batch_stats, tx2.init(state.params), bank,
+                jnp.zeros((), jnp.int32),
+            )
+            rng, k_stage = jax.random.split(rng)
+            ft_start = 0
+        else:
+            self.init_state(k_init, "fine_tune")  # build step fns/template
+            state, k_stage = restore_state(resume)
+            ft_start = resume["epoch"]
 
         # phase 2: fine-tune everything, fresh optimizer with schedule
-        _, _, tx2, _ = self._get_step_fns("fine_tune")
-        state = TrainState(
-            state.params, state.batch_stats, tx2.init(state.params), bank,
-            jnp.zeros((), jnp.int32),
-        )
-        rng, k_stage = jax.random.split(rng)
         state = self.run_stage(
             state, "fine_tune", self.cfg.optim.fine_tune_epochs, k_stage, result,
-            log_every=1 if verbose else None,
+            log_every=log, start_epoch=ft_start, on_epoch_end=on_epoch_end,
         )
 
         result.params = state.params

@@ -84,3 +84,39 @@ class TestTrainerEndToEnd:
         head_before = np.asarray(state.params["classifier"]["kernel"])
         head_after = np.asarray(state2.params["classifier"]["kernel"])
         assert not np.allclose(head_before, head_after)
+
+
+@pytest.mark.slow
+class TestResume:
+    def test_snapshot_roundtrip_continues(self, fake_mvtec, tmp_path):
+        cfg = tiny_cfg()
+        data = mvtec.prepare_pretext_data(fake_mvtec, "bottle", imsize=(64, 64))
+
+        # run 1: full training with snapshots
+        t1 = Trainer(cfg, data)
+        r1 = t1.fit(seed=0, verbose=False, resume_dir=str(tmp_path / "snap"))
+        assert (tmp_path / "snap" / "resume_snapshot.pkl").exists()
+
+        # run 2: resume from the final snapshot — must be a no-op
+        # (all epochs already done) and still produce a valid result
+        t2 = Trainer(cfg, data)
+        r2 = t2.fit(seed=0, verbose=False, resume_dir=str(tmp_path / "snap"))
+        a = jax.tree_util.tree_leaves(r1.params)
+        b = jax.tree_util.tree_leaves(r2.params)
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
+        # histories match where they overlap (resume restored them)
+        assert r2.history["fine_tune_train_loss"] == r1.history["fine_tune_train_loss"]
+
+    def test_interrupted_resume_progresses(self, fake_mvtec, tmp_path):
+        data = mvtec.prepare_pretext_data(fake_mvtec, "bottle", imsize=(64, 64))
+        snap = str(tmp_path / "snap2")
+
+        # simulate a crash after the projection stage's first epoch:
+        # train with 1 projection epoch only, snapshotting
+        cfg_short = tiny_cfg()
+        t = Trainer(cfg_short, data)
+        t.fit(seed=0, verbose=False, resume_dir=snap)
+        payload = t.load_resume_snapshot(snap)
+        assert payload["stage"] == "fine_tune"
+        assert payload["epoch"] == cfg_short.optim.fine_tune_epochs
