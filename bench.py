@@ -58,13 +58,14 @@ def main() -> None:
         return jnp.sum(x, dtype=jnp.float32), jnp.sum(y)
 
     s, _ = step(jax.random.key(0))
-    s.block_until_ready()
+    float(s)  # full warm-up sync
 
     iters = 50
     t0 = time.perf_counter()
     for i in range(iters):
         s, _ = step(jax.random.key(i + 1))
-    s.block_until_ready()
+    float(s)  # value readback — block_until_ready alone under-reports
+    # on tunneled backends
     dt = (time.perf_counter() - t0) / iters
     images_per_sec = batch / dt
 

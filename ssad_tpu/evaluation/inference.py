@@ -54,11 +54,20 @@ class InferenceEngine:
 
         @functools.partial(jax.jit, static_argnames=("dim", "stride"))
         def forward_patches(x, dim, stride):
-            # (B, H, W, 3) → (B·P, d, d, 3) → embeddings (B·P, 512)
-            p = patches_mod.extract_patches(x, dim=dim, stride=stride)
+            # (B, H, W, 3) → (B·P, d, d, 3) → embeddings (B·P, 512),
+            # row-major patch order.  The gather-free tiled extraction
+            # produces patches in tiling order; outputs are permuted
+            # back (small static row gathers).
+            # bf16 before extraction: halves the layout-op traffic, the
+            # backbone casts to bf16 at entry anyway
+            p, inv = patches_mod.extract_patches_shuffled(
+                x.astype(jnp.bfloat16), dim=dim, stride=stride
+            )
             b, n = p.shape[0], p.shape[1]
             flat = p.reshape((b * n,) + p.shape[2:])
             logits, emb = forward(flat)
+            logits = logits.reshape(b, n, -1)[:, inv].reshape(b * n, -1)
+            emb = emb.reshape(b, n, -1)[:, inv].reshape(b * n, -1)
             return logits, emb, n
 
         self._forward = forward

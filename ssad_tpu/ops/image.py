@@ -50,8 +50,16 @@ def resize_bilinear(img: jax.Array, size: Tuple[int, int]) -> jax.Array:
 
 def resize_nearest(img: jax.Array, size: Tuple[int, int]) -> jax.Array:
     """Nearest resize (== reference F.interpolate mode='nearest',
-    models.py:218-219 upsampling of <64px patches)."""
+    models.py:218-219 upsampling of <64px patches).
+
+    Integer upscale factors use repeat (broadcast+reshape — the generic
+    jax.image.resize nearest lowers to a serialized gather loop on TPU
+    and cost ~20 ms/batch in the patch-scoring path)."""
     h, w = size
+    ih, iw = img.shape[0], img.shape[1]
+    if h % ih == 0 and w % iw == 0 and (h > ih or w > iw):
+        out = jnp.repeat(img, h // ih, axis=0)
+        return jnp.repeat(out, w // iw, axis=1)
     shape = (h, w) + img.shape[2:] if img.ndim >= 2 else (h, w)
     return jax.image.resize(img, shape, method="nearest")
 
