@@ -82,6 +82,36 @@ def cmd_sweep(args) -> int:
     return 0
 
 
+def cmd_train_multi(args) -> int:
+    """Train several categories simultaneously as one stacked SPMD
+    program over the ('model','data') device mesh."""
+    import jax
+
+    from ssad_tpu.data import mvtec
+    from ssad_tpu.parallel.category_parallel import fit_categories
+    from ssad_tpu.parallel.mesh import make_mesh
+    from ssad_tpu.train import checkpoint as ckpt
+
+    subjects = _subjects(args)
+    cfg = _train_cfg(argparse.Namespace(**{**vars(args), "subject": subjects[0]}))
+    n_model = args.model_shards or min(len(subjects), len(jax.devices()))
+    mesh = make_mesh(n_model=n_model)
+    datas = [
+        mvtec.prepare_pretext_data(
+            args.dataset_dir, s, imsize=cfg.data.imsize, seed=args.seed
+        )
+        for s in subjects
+    ]
+    results = fit_categories(cfg, subjects, datas, mesh, seed=args.seed,
+                             verbose=not args.quiet)
+    for subject, (params, stats, bank) in results.items():
+        path = ckpt.save_checkpoint(
+            Path(args.outputs_dir) / subject, params, stats, bank, cfg
+        )
+        print(f"{subject}: {path}")
+    return 0
+
+
 def cmd_evaluate(args) -> int:
     from ssad_tpu.evaluation.evaluator import evaluate_categories
 
@@ -216,6 +246,21 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--pretrained-backbone", default=None)
     s.add_argument("--quiet", action="store_true")
     s.set_defaults(fn=cmd_sweep)
+
+    tm = sub.add_parser(
+        "train-multi", help="train categories simultaneously on a device mesh"
+    )
+    common(tm)
+    tm.add_argument("--subjects", default="all")
+    tm.add_argument("--model-shards", type=int, default=None,
+                    help="mesh 'model' axis size (default: min(#subjects, #devices))")
+    tm.add_argument("--projection-epochs", type=int, default=10)
+    tm.add_argument("--projection-lr", type=float, default=0.03)
+    tm.add_argument("--fine-tune-epochs", type=int, default=30)
+    tm.add_argument("--fine-tune-lr", type=float, default=0.005)
+    tm.add_argument("--pretrained-backbone", default=None)
+    tm.add_argument("--quiet", action="store_true")
+    tm.set_defaults(fn=cmd_train_multi)
 
     e = sub.add_parser("evaluate", help="evaluate trained categories")
     common(e, models=True)

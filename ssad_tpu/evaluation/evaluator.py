@@ -309,6 +309,55 @@ def evaluate_categories(
     df = _rows_with_average(rows, subjects)
     export_score_tables(df, tables_dir, f"{stem}_all_scores")
 
+    # artificial pretext-task table (reference artificial_all_scores.csv)
+    if not cfg.patch_localization and any(results[s].artificial for s in subjects):
+        art_rows = {
+            "accuracy": [getattr(results[s].artificial, "accuracy", float("nan")) for s in subjects],
+            "f1": [getattr(results[s].artificial, "f1_macro", float("nan")) for s in subjects],
+            "auroc": [getattr(results[s].artificial, "auroc_binary", float("nan")) for s in subjects],
+        }
+        export_score_tables(
+            _rows_with_average(art_rows, subjects), tables_dir, "artificial_all_scores"
+        )
+
+    # aggregate ROC/PRO curve overlays (reference evaluator.py:496-520)
+    from ssad_tpu.evaluation import visualization as vis
+
+    for group_name, group in (
+        ("textures", [s for s in subjects if constants.is_texture(s)]),
+        ("objects", [s for s in subjects if not constants.is_texture(s)]),
+    ):
+        if not group:
+            continue
+        if cfg.patch_localization:
+            curves = [
+                (s,) + results[s].pixel_roc + (results[s].pixel_auroc,)
+                for s in group if results[s].pixel_roc
+            ]
+            if curves:
+                vis.plot_multiple_curves(
+                    curves, tables_dir, f"{group_name} pixel ROC",
+                    f"{group_name}_pixel_rocs.png",
+                )
+            pro = [
+                (s,) + results[s].pro_curve + (results[s].aupro,)
+                for s in group if results[s].pro_curve
+            ]
+            if pro:
+                vis.plot_multiple_curves(
+                    pro, tables_dir, f"{group_name} PRO", f"{group_name}_pros.png"
+                )
+        else:
+            curves = [
+                (s,) + results[s].image_roc + (results[s].image_auroc,)
+                for s in group if results[s].image_roc
+            ]
+            if curves:
+                vis.plot_multiple_curves(
+                    curves, tables_dir, f"{group_name} image ROC",
+                    f"{group_name}_rocs.png",
+                )
+
     for group_name, group in (
         ("textures", [s for s in subjects if constants.is_texture(s)]),
         ("objects", [s for s in subjects if not constants.is_texture(s)]),

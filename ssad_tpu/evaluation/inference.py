@@ -214,10 +214,10 @@ def load_engine(checkpoint_path: str) -> Tuple[InferenceEngine, Optional[MemoryB
     """Build an InferenceEngine from a saved checkpoint directory."""
     from ssad_tpu.train.checkpoint import load_checkpoint
 
+    from ssad_tpu.config import ModelConfig
+
     params, batch_stats, bank, cfg = load_checkpoint(checkpoint_path)
-    model = build_model(cfg.model) if cfg is not None else build_model(
-        __import__("ssad_tpu.config", fromlist=["ModelConfig"]).ModelConfig()
-    )
+    model = build_model(cfg.model if cfg is not None else ModelConfig())
     return InferenceEngine(model, params, batch_stats), bank, cfg
 
 

@@ -198,6 +198,11 @@ def affine_nearest(
     InterpolationMode.NEAREST (reference datasets.py:220-222).  The
     inverse map sends output pixel p to input coords
     `center + R(-θ)·(p - center)/s`.
+
+    NOTE: this is the exact oracle implementation (per-pixel gather) —
+    fine on CPU and for tests, but arbitrary-index gathers serialize on
+    TPU; the production augmentation path uses `random_affine` below
+    (shear + separable-resample formulation).
     """
     h, w = img.shape[0], img.shape[1]
     cy = (h - 1) / 2.0

@@ -100,8 +100,8 @@ def make_multi_category_step(
         k_idx, k_syn = jax.random.split(key)
         idx = jax.random.randint(k_idx, (b,), 0, images.shape[0])
         keys = jax.random.split(k_syn, b)
-        x, y, _ = synth(keys, images[idx], cut_pool, jnp.int32(cut_pool.shape[0]),
-                        mask, coords, count)
+        x, y, orig = synth(keys, images[idx], cut_pool, jnp.int32(cut_pool.shape[0]),
+                           mask, coords, count)
         # shard the per-category batch across 'data'
         x = jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P("data")))
 
@@ -123,7 +123,23 @@ def make_multi_category_step(
         y_hat = jnp.argmax(logits, axis=-1)
         acc = jnp.mean((y_hat == y).astype(jnp.float32))
         mask_fill = (y == 0) & (y_hat == 0) & fill
-        new_bank = insert(bank, emb.astype(jnp.float32), mask_fill)
+        # eval-mode embeddings of the clean originals for the bank (see
+        # trainer.py: train-mode BN embeddings score at chance against
+        # eval-time queries)
+        def eval_embed(_):
+            from ssad_tpu.ops.image import normalize_imagenet
+
+            x_clean = jax.vmap(normalize_imagenet)(orig)
+            out_eval = model.apply(
+                {"params": new_params, "batch_stats": new_stats}, x_clean, train=False
+            )
+            return out_eval["latent_space"].astype(jnp.float32)
+
+        emb_eval = jax.lax.cond(
+            fill, eval_embed, lambda _: jnp.zeros_like(emb, dtype=jnp.float32),
+            operand=None,
+        )
+        new_bank = insert(bank, emb_eval, mask_fill)
         return new_params, new_stats, new_opt, new_bank, jnp.stack([loss, acc])
 
     @functools.partial(
@@ -146,6 +162,93 @@ def make_multi_category_step(
         return new_state, metrics
 
     return init_fn, step_fn
+
+
+def fit_categories(
+    cfg: TrainConfig,
+    subjects,
+    datas,
+    mesh: Mesh,
+    seed: int = 0,
+    verbose: bool = True,
+):
+    """Train all `subjects` simultaneously as one stacked SPMD program,
+    with the reference's two-phase schedule applied to every category.
+
+    Returns {subject: (params, batch_stats, bank)} — unstacked, ready
+    for per-category checkpoints.  The stack size must equal the mesh's
+    'model' axis extent times an integer (categories are trained in
+    groups of mesh.shape['model']).
+    """
+    import math
+
+    from ssad_tpu.data.synthetic import SynthSpec
+
+    n_model = mesh.shape["model"]
+    assert len(subjects) == len(datas)
+    results = {}
+    steps_per_epoch = max(
+        math.ceil(cfg.data.min_dataset_length / cfg.data.batch_size), 1
+    )
+
+    for lo in range(0, len(subjects), n_model):
+        group = subjects[lo : lo + n_model]
+        group_datas = list(datas[lo : lo + n_model])
+        while len(group_datas) < n_model:  # pad the last group
+            group_datas.append(group_datas[-1])
+        data = stack_category_data(group_datas, mesh)
+        # NOTE: the synthesis spec is shared per group; subjects with
+        # special texture/non-fixed behavior should be grouped together
+        spec = SynthSpec(
+            subject=group[0], imsize=cfg.data.imsize,
+            patch_localization=cfg.data.patch_localization,
+            patch_size=cfg.data.patch_size, aug=cfg.aug,
+        )
+
+        for stage, epochs in (
+            ("projection", cfg.optim.projection_epochs),
+            ("fine_tune", cfg.optim.fine_tune_epochs),
+        ):
+            init_fn, step_fn = make_multi_category_step(cfg, spec, mesh, stage=stage)
+            if stage == "projection":
+                state = init_fn(jax.random.key(seed))
+            else:
+                # carry parameters, reset optimizer + bank (tools.py:273-281)
+                fresh = init_fn(jax.random.key(seed))
+                state = fresh._replace(
+                    params=state.params, batch_stats=state.batch_stats
+                )
+            rng = jax.random.key(seed + (1 if stage == "projection" else 2))
+            model_sharding = NamedSharding(mesh, P("model"))
+            for epoch in range(epochs):
+                fill = jnp.asarray(epoch > epochs // 2)
+                for _ in range(steps_per_epoch):
+                    rng, k = jax.random.split(rng)
+                    keys = jax.device_put(
+                        jax.random.split(k, n_model), model_sharding
+                    )
+                    state, metrics = step_fn(state, keys, data, fill)
+                if verbose:
+                    m = np.asarray(metrics)
+                    print(
+                        f"[{'+'.join(group)}/{stage}] epoch {epoch + 1}/{epochs} "
+                        f"loss {np.round(m[:, 0], 3).tolist()}"
+                    )
+
+        # unstack per category
+        host = jax.tree_util.tree_map(lambda a: np.asarray(a), state)
+        for i, subject in enumerate(group):
+            take = lambda t: jax.tree_util.tree_map(lambda a: a[i], t)
+            results[subject] = (
+                take(host.params),
+                take(host.batch_stats),
+                MemoryBank(
+                    data=host.bank.data[i],
+                    cursor=host.bank.cursor[i],
+                    count=host.bank.count[i],
+                ),
+            )
+    return results
 
 
 def stack_category_data(datas, mesh: Mesh) -> CategoryData:

@@ -117,7 +117,8 @@ class Trainer:
             sharding = NamedSharding(self.mesh, P("data"))
             x = jax.lax.with_sharding_constraint(x, sharding)
             y = jax.lax.with_sharding_constraint(y, NamedSharding(self.mesh, P("data")))
-        return x, y
+            orig = jax.lax.with_sharding_constraint(orig, sharding)
+        return x, y, orig
 
     # --- fused train / eval steps ---------------------------------------
 
@@ -134,7 +135,7 @@ class Trainer:
         tx = optim_mod.build_optimizer(self.cfg.optim, stage, steps, self._params_template)
 
         def train_step(state: TrainState, key, images, masks, coords, counts, fill_bank):
-            x, y = self._make_batch(key, images, masks, coords, counts)
+            x, y, orig = self._make_batch(key, images, masks, coords, counts)
 
             def loss_fn(params):
                 out, mutated = model.apply(
@@ -157,15 +158,39 @@ class Trainer:
             y_hat = jnp.argmax(logits, axis=-1)
             acc = jnp.mean((y_hat == y).astype(jnp.float32))
             # memory-bank fill: y==0 ∧ ŷ==0 ∧ second-half-of-epochs
-            # (models.py:270-275)
+            # (models.py:270-275).  Embeddings are recomputed in EVAL
+            # mode (BN running averages): train-mode embeddings live in
+            # a different space than inference-time queries and score at
+            # chance (measured AUROC 0.52 vs 0.94).  The reference has
+            # the same latent mismatch but never hits it — its bank
+            # branch is dead code (tools.py:359 can't fire) so it always
+            # re-embeds.  The cond skips the extra forward while the
+            # fill phase is inactive.
             mask = (y == 0) & (y_hat == 0) & fill_bank
-            bank = insert(state.bank, emb.astype(jnp.float32), mask)
+
+            def eval_embed(_):
+                # clean (un-augmented) originals: bank rows must match
+                # the distribution of inference-time queries
+                from ssad_tpu.ops.image import normalize_imagenet
+
+                x_clean = jax.vmap(normalize_imagenet)(orig)
+                out_eval = model.apply(
+                    {"params": new_params, "batch_stats": new_stats}, x_clean,
+                    train=False,
+                )
+                return out_eval["latent_space"].astype(jnp.float32)
+
+            emb_eval = jax.lax.cond(
+                fill_bank, eval_embed,
+                lambda _: jnp.zeros_like(emb, dtype=jnp.float32), operand=None,
+            )
+            bank = insert(state.bank, emb_eval, mask)
 
             new_state = TrainState(new_params, new_stats, new_opt, bank, state.step + 1)
             return new_state, {"loss": loss, "accuracy": acc}
 
         def eval_step(params, batch_stats, key, images, masks, coords, counts):
-            x, y = self._make_batch(key, images, masks, coords, counts)
+            x, y, _ = self._make_batch(key, images, masks, coords, counts)
             out = model.apply(
                 {"params": params, "batch_stats": batch_stats}, x, train=False
             )

@@ -49,3 +49,12 @@ def minmax_normalize(x, eps: float = 0.0):
     lo = jnp.min(x)
     hi = jnp.max(x)
     return (x - lo) / (hi - lo + eps) if eps else (x - lo) / (hi - lo)
+
+
+def normalize_in_interval(x, lo: float, hi: float):
+    """Min-max rescale into [lo, hi], rounded to integers
+    (functional.py:91-94)."""
+    x = np.asarray(x, np.float64)
+    span = x.max() - x.min()
+    out = (x - x.min()) / (span if span else 1.0) * (hi - lo) + lo
+    return np.rint(out)

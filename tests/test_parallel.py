@@ -93,3 +93,38 @@ class TestCategoryParallel:
         # losses move (optimizer actually updates) but stay bounded
         assert losses[0] != losses[-1]
         assert max(losses) < 50.0
+
+
+@pytest.mark.slow
+class TestFitCategories:
+    def test_two_categories_end_to_end(self, fake_mvtec, tmp_path):
+        from ssad_tpu.data import mvtec
+        from ssad_tpu.parallel.category_parallel import fit_categories
+        from ssad_tpu.train import checkpoint as ckpt
+        from ssad_tpu.evaluation import inference as inf
+
+        cfg = TrainConfig(
+            data=DataConfig(imsize=(64, 64), batch_size=8, min_dataset_length=16),
+            model=ModelConfig(memory_bank_size=32, compute_dtype="float32"),
+            optim=OptimConfig(projection_epochs=1, fine_tune_epochs=2),
+        )
+        mesh = mesh_mod.make_mesh(n_model=2)
+        subjects = ["bottle", "carpet"]
+        datas = [
+            mvtec.prepare_pretext_data(fake_mvtec, s, imsize=(64, 64))
+            for s in subjects
+        ]
+        results = fit_categories(cfg, subjects, datas, mesh, verbose=False)
+        assert set(results) == {"bottle", "carpet"}
+        # categories trained independently → different weights
+        a = results["bottle"][0]["classifier"]["kernel"]
+        b = results["carpet"][0]["classifier"]["kernel"]
+        assert not np.allclose(a, b)
+        # unstacked checkpoints load into the inference engine
+        path = ckpt.save_checkpoint(
+            tmp_path / "bottle", results["bottle"][0], results["bottle"][1],
+            results["bottle"][2], cfg,
+        )
+        engine, bank, _ = inf.load_engine(path)
+        logits, emb = engine.predict_batch(jnp.zeros((2, 64, 64, 3)))
+        assert logits.shape == (2, 4) and emb.shape == (2, 512)
