@@ -94,7 +94,13 @@ def cmd_train_multi(args) -> int:
 
     subjects = _subjects(args)
     cfg = _train_cfg(argparse.Namespace(**{**vars(args), "subject": subjects[0]}))
-    n_model = args.model_shards or min(len(subjects), len(jax.devices()))
+    n_dev = len(jax.devices())
+    if args.model_shards:
+        n_model = args.model_shards
+    else:
+        # largest divisor of the device count ≤ the subject count, so the
+        # ('model', 'data') mesh always factorizes
+        n_model = max(d for d in range(1, n_dev + 1) if n_dev % d == 0 and d <= max(len(subjects), 1))
     mesh = make_mesh(n_model=n_model)
     datas = [
         mvtec.prepare_pretext_data(

@@ -320,7 +320,8 @@ def evaluate_categories(
             _rows_with_average(art_rows, subjects), tables_dir, "artificial_all_scores"
         )
 
-    # aggregate ROC/PRO curve overlays (reference evaluator.py:496-520)
+    # per-group tables + aggregate ROC/PRO curve overlays
+    # (reference evaluator.py:496-564)
     from ssad_tpu.evaluation import visualization as vis
 
     for group_name, group in (
@@ -329,6 +330,10 @@ def evaluate_categories(
     ):
         if not group:
             continue
+        sub_rows = {k: [v[subjects.index(s)] for s in group] for k, v in rows.items()}
+        export_score_tables(
+            _rows_with_average(sub_rows, group), tables_dir, f"{stem}_{group_name}_scores"
+        )
         if cfg.patch_localization:
             curves = [
                 (s,) + results[s].pixel_roc + (results[s].pixel_auroc,)
@@ -358,14 +363,4 @@ def evaluate_categories(
                     f"{group_name}_rocs.png",
                 )
 
-    for group_name, group in (
-        ("textures", [s for s in subjects if constants.is_texture(s)]),
-        ("objects", [s for s in subjects if not constants.is_texture(s)]),
-    ):
-        if group:
-            sub_rows = {
-                k: [v[subjects.index(s)] for s in group] for k, v in rows.items()
-            }
-            gdf = _rows_with_average(sub_rows, group)
-            export_score_tables(gdf, tables_dir, f"{stem}_{group_name}_scores")
     return results

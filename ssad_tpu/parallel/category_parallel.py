@@ -29,6 +29,7 @@ from ssad_tpu.data.synthetic import SynthSpec, batched_synthesizer
 from ssad_tpu.models.peranet import build_model, init_model
 from ssad_tpu.train import optim as optim_mod
 from ssad_tpu.train.memory_bank import MemoryBank, init_bank, insert
+from ssad_tpu.train.trainer import bank_fill_embeddings
 
 
 class StackedState(NamedTuple):
@@ -64,14 +65,15 @@ def make_multi_category_step(
     All array programs are written in global view; shardings are
     annotated and XLA lowers the collectives (scaling-book recipe).
     """
+    import math
+
     model = build_model(cfg.model)
-    tx = optax.chain(
-        optax.add_decayed_weights(cfg.optim.weight_decay),
-        optax.trace(decay=cfg.optim.momentum),
-        optax.scale_by_learning_rate(
-            cfg.optim.fine_tune_lr if stage == "fine_tune" else cfg.optim.projection_lr
-        ),
-    )
+    # per-category template for the optimizer's label tree — the same
+    # two-phase construction as the single-category Trainer (frozen
+    # backbone in 'projection', cosine decay in 'fine_tune')
+    template_params, _ = init_model(model, jax.random.key(0), (1, 64, 64, 3))
+    steps_per_epoch = max(math.ceil(cfg.data.min_dataset_length / cfg.data.batch_size), 1)
+    tx = optim_mod.build_optimizer(cfg.optim, stage, steps_per_epoch, template_params)
     synth = batched_synthesizer(spec, per_image_masks=False)
     b = cfg.data.batch_size
 
@@ -80,16 +82,29 @@ def make_multi_category_step(
     batch_spec = P("model", "data")
 
     def init_fn(rng) -> StackedState:
-        n_cat = mesh.shape["model"] * 1  # logical category count = stack size
+        n_cat = mesh.shape["model"]  # stack size = 'model' axis extent
 
         def one(key):
             params, stats = init_model(model, key, (1, 64, 64, 3))
+            if cfg.model.pretrained_backbone:
+                from ssad_tpu.utils import torch_weights
+
+                params = torch_weights.load_resnet18_into(
+                    params, cfg.model.pretrained_backbone
+                )
             return params, stats, tx.init(params), init_bank(
                 cfg.model.memory_bank_size, cfg.model.latent_dim
             )
 
         keys = jax.random.split(rng, n_cat)
-        params, stats, opt, bank = jax.vmap(one)(keys)
+        if cfg.model.pretrained_backbone:
+            # torch.load is host-side → init sequentially and stack
+            parts = [one(k) for k in keys]
+            params, stats, opt, bank = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *parts
+            )
+        else:
+            params, stats, opt, bank = jax.vmap(one)(keys)
         state = StackedState(params, stats, opt, bank, jnp.zeros((), jnp.int32))
         shardings = jax.tree_util.tree_map(lambda _: model_sharding, state)
         shardings = shardings._replace(step=replicated)
@@ -123,22 +138,7 @@ def make_multi_category_step(
         y_hat = jnp.argmax(logits, axis=-1)
         acc = jnp.mean((y_hat == y).astype(jnp.float32))
         mask_fill = (y == 0) & (y_hat == 0) & fill
-        # eval-mode embeddings of the clean originals for the bank (see
-        # trainer.py: train-mode BN embeddings score at chance against
-        # eval-time queries)
-        def eval_embed(_):
-            from ssad_tpu.ops.image import normalize_imagenet
-
-            x_clean = jax.vmap(normalize_imagenet)(orig)
-            out_eval = model.apply(
-                {"params": new_params, "batch_stats": new_stats}, x_clean, train=False
-            )
-            return out_eval["latent_space"].astype(jnp.float32)
-
-        emb_eval = jax.lax.cond(
-            fill, eval_embed, lambda _: jnp.zeros_like(emb, dtype=jnp.float32),
-            operand=None,
-        )
+        emb_eval = bank_fill_embeddings(model, new_params, new_stats, orig, fill, emb)
         new_bank = insert(bank, emb_eval, mask_fill)
         return new_params, new_stats, new_opt, new_bank, jnp.stack([loss, acc])
 
@@ -164,6 +164,48 @@ def make_multi_category_step(
     return init_fn, step_fn
 
 
+def _fresh_opt_and_bank(cfg: TrainConfig, mesh: Mesh, state: StackedState, stage: str):
+    """Stacked fresh optimizer state (for the carried params) + empty
+    bank, without re-initializing model parameters."""
+    import math
+
+    from ssad_tpu.models.peranet import init_model as _init
+
+    model = build_model(cfg.model)
+    template, _ = _init(model, jax.random.key(0), (1, 64, 64, 3))
+    steps = max(math.ceil(cfg.data.min_dataset_length / cfg.data.batch_size), 1)
+    tx = optim_mod.build_optimizer(cfg.optim, stage, steps, template)
+    opt = jax.vmap(tx.init)(state.params)
+    n_model = mesh.shape["model"]
+    bank0 = init_bank(cfg.model.memory_bank_size, cfg.model.latent_dim)
+    bank = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a, (n_model,) + a.shape), bank0
+    )
+    model_sharding = NamedSharding(mesh, P("model"))
+    opt = jax.device_put(opt, jax.tree_util.tree_map(lambda _: model_sharding, opt))
+    bank = jax.device_put(bank, jax.tree_util.tree_map(lambda _: model_sharding, bank))
+    return None, None, opt, bank
+
+
+def group_compatible_subjects(subjects):
+    """Partition subjects into groups that can share one SynthSpec.
+
+    A stacked vmapped program compiles ONE synthesis branch structure, so
+    categories in a group must agree on the static spec flags: textures
+    (random-pool cut source, all-ones mask) vs fixed-pose objects.
+    NON_FIXED_OBJECTS need per-image masks, which the stacked data
+    layout does not carry — they are returned separately for the
+    per-category Trainer path.
+    """
+    from ssad_tpu import constants
+
+    textures = [s for s in subjects if constants.is_texture(s)]
+    non_fixed = [s for s in subjects if constants.is_non_fixed_object(s)]
+    fixed = [s for s in subjects if s not in textures and s not in non_fixed]
+    groups = [g for g in (textures, fixed) if g]
+    return groups, non_fixed
+
+
 def fit_categories(
     cfg: TrainConfig,
     subjects,
@@ -186,19 +228,44 @@ def fit_categories(
 
     n_model = mesh.shape["model"]
     assert len(subjects) == len(datas)
+    data_by_subject = dict(zip(subjects, datas))
     results = {}
     steps_per_epoch = max(
         math.ceil(cfg.data.min_dataset_length / cfg.data.batch_size), 1
     )
 
-    for lo in range(0, len(subjects), n_model):
-        group = subjects[lo : lo + n_model]
-        group_datas = list(datas[lo : lo + n_model])
+    spec_groups, non_fixed = group_compatible_subjects(subjects)
+    if non_fixed:
+        # per-image object masks don't fit the stacked data layout —
+        # train those with the single-category Trainer
+        import dataclasses as _dc
+
+        from ssad_tpu.train.trainer import Trainer
+
+        for subject in non_fixed:
+            sub_cfg = _dc.replace(
+                cfg, data=_dc.replace(cfg.data, subject=subject)
+            )
+            r = Trainer(sub_cfg, data_by_subject[subject]).fit(
+                seed=seed, verbose=verbose
+            )
+            results[subject] = (
+                jax.tree_util.tree_map(np.asarray, r.params),
+                jax.tree_util.tree_map(np.asarray, r.batch_stats),
+                jax.tree_util.tree_map(np.asarray, r.bank),
+            )
+
+    flat_groups = [
+        g[lo : lo + n_model]
+        for g in spec_groups
+        for lo in range(0, len(g), n_model)
+    ]
+    for group in flat_groups:
+        group_datas = [data_by_subject[s] for s in group]
         while len(group_datas) < n_model:  # pad the last group
             group_datas.append(group_datas[-1])
         data = stack_category_data(group_datas, mesh)
-        # NOTE: the synthesis spec is shared per group; subjects with
-        # special texture/non-fixed behavior should be grouped together
+        # all subjects in a group share static spec flags by construction
         spec = SynthSpec(
             subject=group[0], imsize=cfg.data.imsize,
             patch_localization=cfg.data.patch_localization,
@@ -213,11 +280,10 @@ def fit_categories(
             if stage == "projection":
                 state = init_fn(jax.random.key(seed))
             else:
-                # carry parameters, reset optimizer + bank (tools.py:273-281)
-                fresh = init_fn(jax.random.key(seed))
-                state = fresh._replace(
-                    params=state.params, batch_stats=state.batch_stats
-                )
+                # carry parameters + BN stats; fresh optimizer and bank
+                # (tools.py:273-281) — no full re-init needed
+                _, _, tx_ft, _bank0 = _fresh_opt_and_bank(cfg, mesh, state, stage)
+                state = state._replace(opt_state=tx_ft, bank=_bank0)
             rng = jax.random.key(seed + (1 if stage == "projection" else 2))
             model_sharding = NamedSharding(mesh, P("model"))
             for epoch in range(epochs):

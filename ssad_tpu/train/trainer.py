@@ -37,6 +37,31 @@ from ssad_tpu.train import optim as optim_mod
 from ssad_tpu.train.memory_bank import MemoryBank, init_bank, insert
 
 
+def bank_fill_embeddings(model, params, batch_stats, originals, fill, like):
+    """Eval-mode embeddings of the clean originals for memory-bank fill,
+    or zeros while the fill phase is inactive.
+
+    Train-mode BN embeddings of augmented samples live in a different
+    space than inference-time queries and score at chance (measured
+    image AUROC 0.52 vs 1.00 after this fix); the reference has the
+    same latent mismatch but never executes its bank branch
+    (tools.py:359 compares > 1000 against a deque capped at 1000).
+    """
+    from ssad_tpu.ops.image import normalize_imagenet
+
+    def eval_embed(_):
+        x_clean = jax.vmap(normalize_imagenet)(originals)
+        out = model.apply(
+            {"params": params, "batch_stats": batch_stats}, x_clean, train=False
+        )
+        return out["latent_space"].astype(jnp.float32)
+
+    return jax.lax.cond(
+        fill, eval_embed, lambda _: jnp.zeros_like(like, dtype=jnp.float32),
+        operand=None,
+    )
+
+
 class TrainState(NamedTuple):
     params: Any
     batch_stats: Any
@@ -158,31 +183,11 @@ class Trainer:
             y_hat = jnp.argmax(logits, axis=-1)
             acc = jnp.mean((y_hat == y).astype(jnp.float32))
             # memory-bank fill: y==0 ∧ ŷ==0 ∧ second-half-of-epochs
-            # (models.py:270-275).  Embeddings are recomputed in EVAL
-            # mode (BN running averages): train-mode embeddings live in
-            # a different space than inference-time queries and score at
-            # chance (measured AUROC 0.52 vs 0.94).  The reference has
-            # the same latent mismatch but never hits it — its bank
-            # branch is dead code (tools.py:359 can't fire) so it always
-            # re-embeds.  The cond skips the extra forward while the
-            # fill phase is inactive.
+            # (models.py:270-275); see bank_fill_embeddings for the
+            # eval-mode/clean-originals rationale
             mask = (y == 0) & (y_hat == 0) & fill_bank
-
-            def eval_embed(_):
-                # clean (un-augmented) originals: bank rows must match
-                # the distribution of inference-time queries
-                from ssad_tpu.ops.image import normalize_imagenet
-
-                x_clean = jax.vmap(normalize_imagenet)(orig)
-                out_eval = model.apply(
-                    {"params": new_params, "batch_stats": new_stats}, x_clean,
-                    train=False,
-                )
-                return out_eval["latent_space"].astype(jnp.float32)
-
-            emb_eval = jax.lax.cond(
-                fill_bank, eval_embed,
-                lambda _: jnp.zeros_like(emb, dtype=jnp.float32), operand=None,
+            emb_eval = bank_fill_embeddings(
+                model, new_params, new_stats, orig, fill_bank, emb
             )
             bank = insert(state.bank, emb_eval, mask)
 

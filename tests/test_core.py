@@ -103,3 +103,17 @@ class TestConvert:
     def test_minmax(self):
         x = convert.minmax_normalize(jnp.array([2.0, 4.0, 6.0]))
         np.testing.assert_allclose(x, [0.0, 0.5, 1.0])
+
+
+class TestNormalizeInInterval:
+    def test_rescale(self):
+        import numpy as np
+
+        out = convert.normalize_in_interval(np.array([1.0, 2.0, 3.0]), 0, 10)
+        np.testing.assert_array_equal(out, [0, 5, 10])
+
+    def test_constant_input(self):
+        import numpy as np
+
+        out = convert.normalize_in_interval(np.array([4.0, 4.0]), 0, 10)
+        assert np.isfinite(out).all()
