@@ -14,7 +14,6 @@ exposes the full workflow:
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 import sys
 from pathlib import Path

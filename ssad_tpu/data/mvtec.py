@@ -48,9 +48,40 @@ def load_mask(path: Optional[str | Path], imsize: Tuple[int, int]) -> np.ndarray
 
 
 def load_stack(paths: Sequence[str], imsize: Tuple[int, int]) -> np.ndarray:
+    """Batch decode+resize; native C++ threaded loader when available
+    (ssad_tpu/native, PIL-parity tested), else the PIL path above."""
     if not paths:
         return np.zeros((0,) + tuple(imsize) + (3,), np.float32)
+    from ssad_tpu import native
+
+    batch = native.decode_resize_batch(paths, imsize, channels=3)
+    if batch is not None:
+        return batch
     return np.stack([load_image(p, imsize) for p in paths])
+
+
+def load_mask_stack(
+    paths: Sequence[Optional[str]], imsize: Tuple[int, int]
+) -> np.ndarray:
+    """Batch GT-mask loading: native grayscale decode for the non-None
+    paths (threshold >127 as in load_mask), zeros for good images."""
+    n = len(paths)
+    out = np.zeros((n,) + tuple(imsize), np.float32)
+    real = [(i, p) for i, p in enumerate(paths) if p is not None]
+    if not real:
+        return out
+    from ssad_tpu import native
+
+    batch = native.decode_resize_batch(
+        [p for _, p in real], imsize, channels=1
+    )
+    if batch is not None:
+        idx = np.asarray([i for i, _ in real])
+        out[idx] = (batch[..., 0] > (127.0 / 255.0)).astype(np.float32)
+        return out
+    for i, p in real:
+        out[i] = load_mask(p, imsize)
+    return out
 
 
 def train_val_split(
@@ -196,7 +227,7 @@ def prepare_mvtec_test_data(
     if not files:
         raise FileNotFoundError(f"no test images under {subject_dir}/test")
     images = load_stack(files, imsize)
-    gts = np.stack([load_mask(fs.ground_truth_path(f), imsize) for f in files])
+    gts = load_mask_stack([fs.ground_truth_path(f) for f in files], imsize)
     labels = (gts.reshape(len(files), -1).sum(axis=1) > 0).astype(np.int32)
     return MVTecTestData(
         subject=subject,

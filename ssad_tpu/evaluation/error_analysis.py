@@ -15,7 +15,6 @@ from typing import Optional
 import numpy as np
 
 from ssad_tpu.constants import ModelOutputs, PRETEXT_CLASSES
-from ssad_tpu.utils import convert
 
 
 def softmax(logits: np.ndarray) -> np.ndarray:

@@ -24,10 +24,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ssad_tpu.config import EvalConfig, TrainConfig
+from ssad_tpu.config import TrainConfig
 from ssad_tpu.constants import ModelOutputs
 from ssad_tpu.data import mvtec
-from ssad_tpu.data.synthetic import SynthSpec, make_synthesizer
+from ssad_tpu.data.synthetic import SynthSpec
 from ssad_tpu.models.detector import AnomalyDetector
 from ssad_tpu.models.peranet import PeraNet, build_model
 from ssad_tpu.ops import image as im

@@ -1,0 +1,134 @@
+"""Native (C++) host-data loader: threaded PNG/JPEG decode + resize.
+
+The TPU compute path is JAX/XLA/Pallas; the host input stage around it
+is native C++ (loader.cpp), the tpu-native counterpart of the
+reference's PIL-in-8-worker-processes input pipeline
+(datasets.py:501-533).  Python binds it with ctypes — no pybind11 in
+this environment — and transparently falls back to the PIL path in
+data/mvtec.py when the library cannot be built (no g++, no libpng).
+
+Build model: compiled on first use with g++ into
+``~/.cache/ssad_tpu/libssadloader-<source-hash>.so`` (hash keyed on the
+source, so edits rebuild; concurrent builds race benignly via an
+atomic rename).  Set ``SSAD_NATIVE=0`` to disable the native path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+from pathlib import Path
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+_SRC = Path(__file__).with_name("loader.cpp")
+_lib: Optional[ctypes.CDLL] = None
+_lib_tried = False
+
+
+def _cache_dir() -> Path:
+    d = os.environ.get("SSAD_NATIVE_CACHE") or os.path.join(
+        os.path.expanduser("~"), ".cache", "ssad_tpu"
+    )
+    return Path(d)
+
+
+def build(verbose: bool = False) -> Optional[Path]:
+    """Compile loader.cpp if needed; return the .so path or None."""
+    if not _SRC.exists():
+        return None
+    src = _SRC.read_bytes()
+    tag = hashlib.sha256(src).hexdigest()[:16]
+    out = _cache_dir() / f"libssadloader-{tag}.so"
+    if out.exists():
+        return out
+    out.parent.mkdir(parents=True, exist_ok=True)
+    tmp = out.with_suffix(f".tmp{os.getpid()}")
+    cmd = [
+        "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+        str(_SRC), "-lpng", "-ljpeg", "-pthread", "-o", str(tmp),
+    ]
+    try:
+        proc = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+    except (OSError, subprocess.TimeoutExpired):
+        return None
+    if proc.returncode != 0:
+        if verbose:
+            print(proc.stderr)
+        return None
+    tmp.replace(out)  # atomic: concurrent builders converge on one file
+    return out
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _lib_tried
+    if _lib_tried:
+        return _lib
+    _lib_tried = True
+    if os.environ.get("SSAD_NATIVE", "1") == "0":
+        return None
+    so = build()
+    if so is None:
+        return None
+    try:
+        lib = ctypes.CDLL(str(so))
+    except OSError:
+        return None
+    lib.ssad_decode_resize_batch.restype = ctypes.c_int
+    lib.ssad_decode_resize_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.ssad_probe.restype = ctypes.c_int
+    if lib.ssad_probe() != 1:
+        return None
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    """True when the native loader is built and loadable."""
+    return _load() is not None
+
+
+def _supported(paths: Sequence[str]) -> bool:
+    return all(str(p).lower().endswith((".png", ".jpg", ".jpeg")) for p in paths)
+
+
+def decode_resize_batch(
+    paths: Sequence[str],
+    imsize: Tuple[int, int],
+    channels: int = 3,
+    n_threads: int = 0,
+) -> Optional[np.ndarray]:
+    """Decode + bicubic-resize files to (N, H, W, C) float32 in [0, 1].
+
+    Returns None when the native path is unavailable or a file fails to
+    decode (callers fall back to PIL).  n_threads=0 → hardware count.
+    PIL-parity caveat (tested in tests/test_native.py): the native path
+    decodes to the target mode *before* resizing, which is identical
+    for RGB/grayscale sources; palette-mode PNGs fall back to PIL.
+    """
+    lib = _load()
+    if lib is None or not _supported(paths):
+        return None
+    n = len(paths)
+    h, w = imsize
+    out = np.zeros((n, h, w, channels), np.float32)
+    if n == 0:
+        return out
+    arr = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])
+    err = ctypes.c_int(-1)
+    failures = lib.ssad_decode_resize_batch(
+        arr, n, h, w, channels,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n_threads, ctypes.byref(err),
+    )
+    if failures:
+        return None
+    return out

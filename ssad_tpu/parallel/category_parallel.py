@@ -187,22 +187,32 @@ def _fresh_opt_and_bank(cfg: TrainConfig, mesh: Mesh, state: StackedState, stage
     return None, None, opt, bank
 
 
-def group_compatible_subjects(subjects):
+def group_compatible_subjects(subjects, patch_localization: bool = False):
     """Partition subjects into groups that can share one SynthSpec.
 
     A stacked vmapped program compiles ONE synthesis branch structure, so
     categories in a group must agree on the static spec flags: textures
-    (random-pool cut source, all-ones mask) vs fixed-pose objects.
+    (random-pool cut source, all-ones mask) vs fixed-pose objects; in
+    patch mode, capsule/screw additionally have their own pre-crops
+    (PATCH_MODE_PRECROPS) and each forms a singleton group.
     NON_FIXED_OBJECTS need per-image masks, which the stacked data
     layout does not carry — they are returned separately for the
     per-category Trainer path.
     """
     from ssad_tpu import constants
+    from ssad_tpu.data.synthetic import PATCH_MODE_PRECROPS
 
     textures = [s for s in subjects if constants.is_texture(s)]
     non_fixed = [s for s in subjects if constants.is_non_fixed_object(s)]
-    fixed = [s for s in subjects if s not in textures and s not in non_fixed]
-    groups = [g for g in (textures, fixed) if g]
+    precrop = [
+        s for s in subjects
+        if patch_localization and s in PATCH_MODE_PRECROPS and s not in non_fixed
+    ]
+    fixed = [
+        s for s in subjects
+        if s not in textures and s not in non_fixed and s not in precrop
+    ]
+    groups = [g for g in ([textures, fixed] + [[s] for s in precrop]) if g]
     return groups, non_fixed
 
 
@@ -234,7 +244,9 @@ def fit_categories(
         math.ceil(cfg.data.min_dataset_length / cfg.data.batch_size), 1
     )
 
-    spec_groups, non_fixed = group_compatible_subjects(subjects)
+    spec_groups, non_fixed = group_compatible_subjects(
+        subjects, cfg.data.patch_localization
+    )
     if non_fixed:
         # per-image object masks don't fit the stacked data layout —
         # train those with the single-category Trainer

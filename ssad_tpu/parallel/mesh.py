@@ -19,7 +19,7 @@ annotations, XLA inserts the collectives (scaling-book recipe).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import numpy as np

@@ -10,7 +10,6 @@ TrainConfig JSON, restorable without constructing the model first.
 from __future__ import annotations
 
 import json
-import os
 from pathlib import Path
 from typing import Any, Dict, Optional
 

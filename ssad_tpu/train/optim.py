@@ -13,8 +13,6 @@ Reference parity (models.py:336-341, tools.py:252-306):
 
 from __future__ import annotations
 
-from typing import Callable, Optional
-
 import jax
 import jax.numpy as jnp
 import optax

@@ -204,7 +204,8 @@ class Trainer:
             acc = jnp.mean((jnp.argmax(logits, axis=-1) == y).astype(jnp.float32))
             return {"loss": loss, "accuracy": acc}
 
-        jitted = (jax.jit(train_step), jax.jit(eval_step), tx, steps)
+        # donate the state: avoids a full extra copy of params/opt/bank
+        jitted = (jax.jit(train_step, donate_argnums=(0,)), jax.jit(eval_step), tx, steps)
         self._step_cache[stage] = jitted
         return jitted
 

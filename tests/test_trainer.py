@@ -75,13 +75,16 @@ class TestTrainerEndToEnd:
         state = trainer.init_state(jax.random.key(0), "projection")
         train_step, _, _, _ = trainer._get_step_fns("projection")
         tr = trainer._device_data("train")
+        # the step donates its input state — snapshot to host first
+        bb_before = jax.tree_util.tree_map(
+            np.asarray, jax.tree_util.tree_leaves(state.params["backbone"])
+        )
+        head_before = np.asarray(state.params["classifier"]["kernel"])
         state2, _ = train_step(state, jax.random.key(1), *tr, jnp.asarray(False))
-        bb_before = jax.tree_util.tree_leaves(state.params["backbone"])
         bb_after = jax.tree_util.tree_leaves(state2.params["backbone"])
         for b, a in zip(bb_before, bb_after):
-            np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+            np.testing.assert_array_equal(b, np.asarray(a))
         # head parameters must move
-        head_before = np.asarray(state.params["classifier"]["kernel"])
         head_after = np.asarray(state2.params["classifier"]["kernel"])
         assert not np.allclose(head_before, head_after)
 
