@@ -292,34 +292,30 @@ def _gen_crop_geometry(key, area_ratio, aspect_ratio, cut_hw):
     return pw, ph, src_left, src_top
 
 
-def _integral_image(img):
-    """Inclusive summed-area table (H, W, C) — no zero-pad row/col (a
-    (H+1, W+1) pad forces a ~10 ms layout copy on TPU; the lookup
-    handles the boundary instead)."""
-    return jnp.cumsum(jnp.cumsum(img.astype(jnp.float32), axis=0), axis=1)
+def _rect_mean_color(img, left, top, w, h):
+    """Mean RGB over a dynamic rectangle of img (H, W, C), clipped to
+    the image bounds, as two indicator-vector contractions.
 
-
-def _rect_mean_color(integral, left, top, w, h):
-    """Mean RGB over a dynamic rectangle — 4 corner lookups into the
-    inclusive summed-area table (vs. a full-image masked reduction per
-    sample).  S(i, j) is treated as 0 for i < 0 or j < 0."""
-    hh, ww = integral.shape[0], integral.shape[1]
-
-    def gv(i, j):
-        neg = (i < 0) | (j < 0)
-        v = integral[jnp.clip(i, 0, hh - 1), jnp.clip(j, 0, ww - 1)]
-        return jnp.where(neg, 0.0, v)
-
-    b = jnp.minimum(top + h, hh) - 1
-    r = jnp.minimum(left + w, ww) - 1
-    t = jnp.clip(top, 0, hh) - 1
-    l = jnp.clip(left, 0, ww) - 1
-    total = gv(b, r) - gv(t, r) - gv(b, l) + gv(t, l)
-    cnt = jnp.maximum((b - t) * (r - l), 1)
+    TPU note: this replaced a per-sample summed-area table — the two
+    full-image cumsums cost 6.5 ms/batch (40% of the whole synthesis
+    program, measured 96×256² on v5e); the indicator reduction is one
+    read of an operand the branch already touches."""
+    hh, ww = img.shape[0], img.shape[1]
+    b = jnp.minimum(top + h, hh)
+    r = jnp.minimum(left + w, ww)
+    rows = jnp.arange(hh)
+    cols = jnp.arange(ww)
+    rvec = ((rows >= jnp.maximum(top, 0)) & (rows < b)).astype(jnp.float32)
+    cvec = ((cols >= jnp.maximum(left, 0)) & (cols < r)).astype(jnp.float32)
+    total = jnp.einsum(
+        "j,jlc,l->c", rvec, img.astype(jnp.float32), cvec,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    cnt = jnp.maximum(jnp.sum(rvec) * jnp.sum(cvec), 1.0)
     return total / cnt
 
 
-def _colorize(key, cut_integral, src_left, src_top, pw, ph, probs):
+def _colorize(key, cut, src_left, src_top, pw, ph, probs):
     """Colorization mode and flat color (datasets.py:267-293, :311-333).
 
     Returns (t, flat_color): t=0 crop pixels, t=1 average color of the
@@ -328,7 +324,7 @@ def _colorize(key, cut_integral, src_left, src_top, pw, ph, probs):
     k_t, k_r, k_g, k_b = jax.random.split(key, 4)
     u = jax.random.uniform(k_t, ())
     t = jnp.where(u < probs[0], 0, jnp.where(u < probs[0] + probs[1], 1, 2))
-    avg = _rect_mean_color(cut_integral, src_left, src_top, pw, ph)
+    avg = _rect_mean_color(cut, src_left, src_top, pw, ph)
     # reference 'average' rounds to int 0-255 (dataset_generator.py:206)
     avg = jnp.floor(avg * 255.0) / 255.0
     rand = (
@@ -471,7 +467,7 @@ def _composite_tiles(x, tiles):
     return x
 
 
-def _paste_polygon_patch(key, spec: SynthSpec, x, x_mean, cut, cut_integral, cs):
+def _paste_polygon_patch(key, spec: SynthSpec, x, x_mean, cut, cs):
     """Label-1 defect (datasets.py:267-308)."""
     aug = spec.aug
     hc, wc = x.shape[0], x.shape[1]
@@ -481,7 +477,7 @@ def _paste_polygon_patch(key, spec: SynthSpec, x, x_mean, cut, cut_integral, cs)
     pw, ph, src_l, src_t = _gen_crop_geometry(
         k_geo, spec.patch_area_ratio, aug.patch_aspect_ratio, (cut.shape[0], cut.shape[1])
     )
-    t, flat, avg = _colorize(k_col, cut_integral, src_l, src_t, pw, ph, aug.color_probs)
+    t, flat, avg = _colorize(k_col, cut, src_l, src_t, pw, ph, aug.color_probs)
     patch_mean = jnp.where(t == 0, avg, flat)
     bright = _brightness_factor(k_bri, x_mean, patch_mean, aug)
 
@@ -538,7 +534,7 @@ def _rotate_tile(rgba, angle_deg):
     return _shear_cols(out, s_col)
 
 
-def _paste_scar(key, spec: SynthSpec, x, x_mean, cut, cut_integral, cs):
+def _paste_scar(key, spec: SynthSpec, x, x_mean, cut, cs):
     """Label-2 defect: a crop rotated ±45° pasted 2-5 times
     (datasets.py:309-355)."""
     aug = spec.aug
@@ -548,7 +544,7 @@ def _paste_scar(key, spec: SynthSpec, x, x_mean, cut, cut_integral, cs):
     pw, ph, src_l, src_t = _gen_crop_geometry(
         k_geo, spec.scar_area_ratio, aug.scar_aspect_ratio, (cut.shape[0], cut.shape[1])
     )
-    t, flat, avg = _colorize(k_col, cut_integral, src_l, src_t, pw, ph, aug.color_probs)
+    t, flat, avg = _colorize(k_col, cut, src_l, src_t, pw, ph, aug.color_probs)
     patch_mean = jnp.where(t == 0, avg, flat)
     bright = _brightness_factor(k_bri, x_mean, patch_mean, aug)
 
@@ -746,11 +742,10 @@ def make_synthesizer(spec: SynthSpec):
             cs = PackedCoords(coords, n_coords)
 
         x_mean = im.mean_color(x)
-        cut_integral = _integral_image(cut)
         branches = [
             lambda k: x,
-            lambda k: _paste_polygon_patch(k, spec, x, x_mean, cut, cut_integral, cs),
-            lambda k: _paste_scar(k, spec, x, x_mean, cut, cut_integral, cs),
+            lambda k: _paste_polygon_patch(k, spec, x, x_mean, cut, cs),
+            lambda k: _paste_scar(k, spec, x, x_mean, cut, cs),
             lambda k: _draw_line(k, spec, x, cs),
         ]
         x = jax.lax.switch(y, branches, keys[4])

@@ -247,6 +247,60 @@ def _shear(img: jax.Array, shift_per_line: jax.Array, axis: int, max_shift: int)
     return out
 
 
+def _shear_2level(
+    img: jax.Array, shift_per_line: jax.Array, axis: int, max_shift: int
+) -> jax.Array:
+    """_shear, decomposed as d = stride·q + f on a padded canvas.
+
+    Direct _shear unrolls 2·max_shift+1 full-image roll passes (pure
+    HBM traffic); splitting into a fine pass (stride candidates) and a
+    coarse pass (~2·max/stride+1 candidates) does the same shear in
+    ~2·√(2·max+1) passes.  Exactness: the final validity mask is the
+    full 0 ≤ pos−d < size condition, and the pad margin keeps the fine
+    roll from wrapping live pixels — bit-identical to _shear (tested).
+    """
+    size = img.shape[axis]
+    stride = max(3, int(round(math.sqrt(2 * max_shift + 1))))
+    fmax = stride // 2
+    q = jnp.floor_divide(shift_per_line + fmax, stride)
+    f = shift_per_line - stride * q
+    q_lo = math.floor((-max_shift + fmax) / stride)
+    q_hi = math.floor((max_shift + fmax) / stride)
+
+    # pad by fmax along the shear axis so the fine roll never wraps a
+    # live pixel into a position the coarse pass reads
+    pad = [(0, 0)] * img.ndim
+    pad[axis] = (fmax, fmax)
+    padded = jnp.pad(img, pad)
+    psize = size + 2 * fmax
+    ppos = jax.lax.broadcasted_iota(jnp.int32, padded.shape[:2], axis)
+
+    def linesel(sel, to_shape):
+        return jnp.expand_dims(sel, axis) if axis == 1 else sel[None, :]
+
+    # fine pass: t[p] = padded[p − f(line)], zero-filled
+    t = jnp.zeros_like(padded)
+    for d in range(-fmax, fmax + 1):
+        shifted = jnp.roll(padded, d, axis=axis)
+        valid = (ppos - d >= 0) & (ppos - d < psize)
+        selb = linesel(f == d, padded.shape)
+        t = jnp.where((selb & valid)[..., None], shifted, t)
+
+    # coarse pass back onto the unpadded canvas, with the exact final
+    # validity test: out[p] = t[p + fmax − stride·q] = img[p − d]
+    pos = jax.lax.broadcasted_iota(jnp.int32, img.shape[:2], axis)
+    shift_b = linesel(shift_per_line, img.shape)
+    final_valid = (pos - shift_b >= 0) & (pos - shift_b < size)
+    out = jnp.zeros_like(img)
+    for qv in range(q_lo, q_hi + 1):
+        # roll t by stride·qv − fmax, then take the leading `size` slice
+        rolled = jnp.roll(t, stride * qv - fmax, axis=axis)
+        sliced = jax.lax.slice_in_dim(rolled, 0, size, axis=axis)
+        selb = linesel(q == qv, img.shape)
+        out = jnp.where((selb & final_valid)[..., None], sliced, out)
+    return out
+
+
 def rotate_small_angle(img: jax.Array, angle_deg: jax.Array, max_degrees: float) -> jax.Array:
     """Rotation about the center via the exact 3-shear decomposition
     R(θ) = Shx(-tan θ/2) · Shy(sin θ) · Shx(-tan θ/2), integer shifts.
@@ -267,13 +321,31 @@ def rotate_small_angle(img: jax.Array, angle_deg: jax.Array, max_degrees: float)
 
     sx1 = jnp.round(a * rows).astype(jnp.int32)  # column shift per row
     sy = jnp.round(b * cols).astype(jnp.int32)  # row shift per column
-    mx = int(math.ceil(max_t * max(cy, cx))) + 1
-    my = int(math.ceil(max_s * max(cy, cx))) + 1
+    # tight bounds: |round(x)| ≤ floor(max|x| + 0.5); every unrolled
+    # shift candidate is a full-image roll pass, so slack is pure HBM
+    # traffic (±3° @256px: 33 passes vs 43 with ceil+1)
+    mx = int(math.floor(max_t * max(cy, cx) + 0.5))
+    my = int(math.floor(max_s * max(cy, cx) + 0.5))
 
-    out = _shear(img, sx1, axis=1, max_shift=mx)
-    out = _shear(out, sy, axis=0, max_shift=my)
-    out = _shear(out, sx1, axis=1, max_shift=mx)
+    out = _shear_best(img, sx1, axis=1, max_shift=mx)
+    out = _shear_best(out, sy, axis=0, max_shift=my)
+    out = _shear_best(out, sx1, axis=1, max_shift=mx)
     return out
+
+
+def _shear_best(img, shift_per_line, axis: int, max_shift: int):
+    """Pick direct vs two-level shear by unrolled-pass count (each pass
+    is one full-image HBM sweep)."""
+    direct = 2 * max_shift + 1
+    stride = max(3, int(round(math.sqrt(direct))))
+    fmax = stride // 2
+    two_level = (
+        (2 * fmax + 1)
+        + (math.floor((max_shift + fmax) / stride) - math.floor((-max_shift + fmax) / stride) + 1)
+    )
+    if two_level + 2 < direct:  # +2: pad/slice copies
+        return _shear_2level(img, shift_per_line, axis, max_shift)
+    return _shear(img, shift_per_line, axis, max_shift)
 
 
 def apply_separable(img: jax.Array, m_r: jax.Array, m_c: jax.Array) -> jax.Array:

@@ -192,3 +192,29 @@ class TestKnn:
         q = bank[:2]
         scores = np.asarray(knn.knn_cosine_scores_xla(q, bank, k=1))
         np.testing.assert_allclose(scores, 0.0, atol=1e-6)
+
+
+class TestShear:
+    """The two-level (coarse+fine, padded) shear must be bit-identical
+    to the direct roll-accumulate it replaces (ops/image.py)."""
+
+    def test_two_level_equals_direct(self, rng):
+        from ssad_tpu.ops import image as im
+
+        for size in (16, 37, 64):
+            img = jnp.asarray(rng.random((size, size, 3), dtype=np.float32))
+            for m in (3, 9, 20):
+                for axis in (0, 1):
+                    shifts = jnp.asarray(
+                        rng.integers(-m, m + 1, size), jnp.int32
+                    )
+                    a = im._shear(img, shifts, axis, m)
+                    b = im._shear_2level(img, shifts, axis, m)
+                    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_rotate_roundtrip_identity(self):
+        from ssad_tpu.ops import image as im
+
+        img = jnp.asarray(np.random.default_rng(0).random((32, 32, 3), np.float32))
+        out = im.rotate_small_angle(img, jnp.float32(0.0), 3.0)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(img))
