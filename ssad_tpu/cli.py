@@ -33,7 +33,8 @@ def _train_cfg(args) -> TrainConfig:
             patch_localization=args.patch_level,
             patch_size=args.patch_size,
         ),
-        model=ModelConfig(pretrained_backbone=args.pretrained_backbone),
+        model=ModelConfig(backbone=getattr(args, 'backbone', 'resnet18'),
+                          pretrained_backbone=args.pretrained_backbone),
         optim=OptimConfig(
             projection_epochs=args.projection_epochs,
             projection_lr=args.projection_lr,
@@ -236,6 +237,8 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--projection-lr", type=float, default=0.03)
     t.add_argument("--fine-tune-epochs", type=int, default=30)
     t.add_argument("--fine-tune-lr", type=float, default=0.005)
+    t.add_argument("--backbone", default="resnet18",
+                   choices=["resnet18", "wide_resnet50_2"])
     t.add_argument("--pretrained-backbone", default=None,
                    help="path to a torchvision resnet18 state_dict (.pth)")
     t.add_argument("--quiet", action="store_true")
@@ -248,6 +251,8 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--projection-lr", type=float, default=0.03)
     s.add_argument("--fine-tune-epochs", type=int, default=30)
     s.add_argument("--fine-tune-lr", type=float, default=0.005)
+    s.add_argument("--backbone", default="resnet18",
+                   choices=["resnet18", "wide_resnet50_2"])
     s.add_argument("--pretrained-backbone", default=None)
     s.add_argument("--quiet", action="store_true")
     s.set_defaults(fn=cmd_sweep)
@@ -263,6 +268,8 @@ def build_parser() -> argparse.ArgumentParser:
     tm.add_argument("--projection-lr", type=float, default=0.03)
     tm.add_argument("--fine-tune-epochs", type=int, default=30)
     tm.add_argument("--fine-tune-lr", type=float, default=0.005)
+    tm.add_argument("--backbone", default="resnet18",
+                    choices=["resnet18", "wide_resnet50_2"])
     tm.add_argument("--pretrained-backbone", default=None)
     tm.add_argument("--quiet", action="store_true")
     tm.set_defaults(fn=cmd_train_multi)

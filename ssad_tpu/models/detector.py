@@ -94,3 +94,66 @@ def normalize_embeddings(embeddings: jax.Array) -> jax.Array:
     """L2-normalize embeddings (the image-level evaluator normalizes
     before scoring, reference evaluator.py:262-263)."""
     return l2_normalize(jnp.asarray(embeddings))
+
+
+@dataclasses.dataclass
+class MahalanobisDetector:
+    """Gaussian-density anomaly scorer: fit a single Gaussian to the
+    normality embeddings, score by Mahalanobis distance.
+
+    An alternative to the k-NN bank (no counterpart in the reference —
+    added as the standard parametric baseline; BASELINE.json north
+    star).  Shrinkage regularizes the covariance toward a scaled
+    identity (Ledoit-Wolf-style fixed coefficient), which keeps the
+    inverse well-conditioned when M < D.  All O(D²)/O(D³) work happens
+    once at fit; predict is one (Q, D) × (D, D) matmul.
+    """
+
+    shrinkage: float = 0.1
+    patch_level: bool = False
+    batch: Optional[int] = None
+    num_patches: Optional[int] = None
+
+    mean: Optional[jax.Array] = None  # (D,)
+    precision: Optional[jax.Array] = None  # (D, D)
+    threshold: Optional[float] = None
+
+    def fit(self, embeddings: jax.Array, key: Optional[jax.Array] = None) -> "MahalanobisDetector":
+        emb = jnp.asarray(embeddings, jnp.float32)
+        m, d = emb.shape
+        if m < 2:
+            raise ValueError("need at least 2 normality embeddings")
+        if key is None:
+            key = jax.random.key(0)
+        perm = jax.random.permutation(key, m)
+        n_val = max(int(round(m * 0.3)), 1)
+        train = emb[perm[n_val:]] if m - n_val >= 2 else emb
+        val = emb[perm[:n_val]]
+
+        mu = jnp.mean(train, axis=0)
+        x = train - mu
+        cov = (x.T @ x) / jnp.maximum(train.shape[0] - 1, 1)
+        trace_scaled = jnp.trace(cov) / d
+        cov = (1.0 - self.shrinkage) * cov + self.shrinkage * trace_scaled * jnp.eye(d)
+        self.mean = mu
+        self.precision = jnp.linalg.inv(cov)
+        self.threshold = float(jnp.max(self._scores(val)))
+        return self
+
+    def _scores(self, queries: jax.Array) -> jax.Array:
+        q = jnp.asarray(queries, jnp.float32) - self.mean
+        return jnp.sqrt(jnp.maximum(jnp.einsum("qd,de,qe->q", q, self.precision, q), 0.0))
+
+    def predict(self, queries: jax.Array) -> jax.Array:
+        if self.precision is None:
+            raise RuntimeError("fit() before predict()")
+        scores = self._scores(queries)
+        if self.patch_level:
+            if not self.batch or not self.num_patches:
+                raise ValueError("patch mode needs batch and num_patches")
+            side = int(self.num_patches**0.5)
+            scores = scores.reshape(self.batch, 1, side, side)
+        return scores
+
+    def predict_labels(self, queries: jax.Array) -> jax.Array:
+        return (self.predict(queries) > self.threshold).astype(jnp.int32)

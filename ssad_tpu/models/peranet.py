@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from ssad_tpu.config import ModelConfig
-from ssad_tpu.models.resnet import ResNet18
+from ssad_tpu.models.resnet import make_backbone
 from ssad_tpu.ops.image import resize_nearest
 
 
@@ -40,13 +40,14 @@ class PeraNet(nn.Module):
     (models.py:251-253)."""
 
     num_classes: int = 4
+    backbone_arch: str = "resnet18"  # resnet18 | wide_resnet50_2 (BASELINE config 4)
     layer_outputs: Sequence[str] = ("layer2", "layer3")
     latent_space_layers: int = 5
     latent_dim: int = 512
     compute_dtype: Any = jnp.bfloat16
 
     def setup(self):
-        self.backbone = ResNet18(dtype=self.compute_dtype, name="backbone")
+        self.backbone = make_backbone(self.backbone_arch, dtype=self.compute_dtype, name="backbone")
         self.concatenator_dense = nn.Dense(
             self.latent_dim, use_bias=False, name="concatenator_dense"
         )
@@ -104,6 +105,7 @@ class PeraNet(nn.Module):
 def build_model(cfg: ModelConfig) -> PeraNet:
     return PeraNet(
         num_classes=cfg.num_classes,
+        backbone_arch=cfg.backbone,
         layer_outputs=tuple(cfg.layer_outputs),
         latent_space_layers=cfg.latent_space_layers,
         latent_dim=cfg.latent_dim,

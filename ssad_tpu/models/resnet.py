@@ -59,17 +59,64 @@ class BasicBlock(nn.Module):
         return nn.relu(y + residual)
 
 
-class ResNet18(nn.Module):
-    """ResNet-18 returning pooled features + the multi-scale taps.
+class BottleneckBlock(nn.Module):
+    """1×1 reduce → 3×3 (stride) → 1×1 expand(×4) + shortcut (ResNet v1
+    bottleneck; `width` is torchvision's base_width-scaled inner width —
+    wide_resnet50_2 uses width = 2·filters)."""
 
-    __call__ returns (pooled (B, 512), feats dict with 'layer1'..'layer4'
+    filters: int
+    width: int
+    strides: int = 1
+    dtype: Any = jnp.float32
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        norm = lambda name: nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            name=name,
+        )
+        out_ch = self.filters * self.expansion
+        residual = x
+        y = nn.Conv(self.width, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
+        y = norm("bn1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(
+            self.width, (3, 3), strides=(self.strides, self.strides),
+            padding=[(1, 1), (1, 1)], use_bias=False, dtype=self.dtype, name="conv2",
+        )(y)
+        y = norm("bn2")(y)
+        y = nn.relu(y)
+        y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(y)
+        y = norm("bn3")(y)
+        if residual.shape[-1] != out_ch or self.strides != 1:
+            residual = nn.Conv(
+                out_ch, (1, 1), strides=(self.strides, self.strides),
+                use_bias=False, dtype=self.dtype, name="downsample_conv",
+            )(residual)
+            residual = norm("downsample_bn")(residual)
+        return nn.relu(y + residual)
+
+
+class ResNet(nn.Module):
+    """ResNet v1 returning pooled features + the multi-scale taps.
+
+    __call__ returns (pooled (B, C4), feats dict with 'layer1'..'layer4'
     NHWC maps) — the explicit-return equivalent of the reference's
     forward hooks on layer2/layer3 (models.py:123-129).
+
+    block: 'basic' (ResNet-18/34) or 'bottleneck' (ResNet-50 family);
+    width_factor scales the bottleneck inner width (2 = wide_resnet50_2).
     """
 
     dtype: Any = jnp.float32
     stage_sizes: Sequence[int] = (2, 2, 2, 2)
     stage_filters: Sequence[int] = (64, 128, 256, 512)
+    block: str = "basic"
+    width_factor: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = True) -> Tuple[jax.Array, Dict[str, jax.Array]]:
@@ -91,11 +138,38 @@ class ResNet18(nn.Module):
         ):
             for block in range(num_blocks):
                 strides = 2 if stage > 1 and block == 0 else 1
-                x = BasicBlock(
-                    filters, strides=strides, dtype=self.dtype,
-                    name=f"layer{stage}_{block}",
-                )(x, train=train)
+                name = f"layer{stage}_{block}"
+                if self.block == "basic":
+                    x = BasicBlock(filters, strides=strides, dtype=self.dtype, name=name)(
+                        x, train=train
+                    )
+                else:
+                    x = BottleneckBlock(
+                        filters, width=filters * self.width_factor,
+                        strides=strides, dtype=self.dtype, name=name,
+                    )(x, train=train)
             feats[f"layer{stage}"] = x
 
-        pooled = jnp.mean(x, axis=(1, 2))  # global average pool → (B, 512)
+        pooled = jnp.mean(x, axis=(1, 2))  # global average pool
         return pooled.astype(jnp.float32), feats
+
+
+def ResNet18(dtype: Any = jnp.float32, name: str = "backbone") -> ResNet:
+    return ResNet(dtype=dtype, name=name)
+
+
+def WideResNet50_2(dtype: Any = jnp.float32, name: str = "backbone") -> ResNet:
+    """torchvision wide_resnet50_2: bottleneck (3,4,6,3), inner width 2×
+    — the PatchCore-style feature extractor (BASELINE.json config 4)."""
+    return ResNet(
+        dtype=dtype, stage_sizes=(3, 4, 6, 3), block="bottleneck",
+        width_factor=2, name=name,
+    )
+
+
+def make_backbone(arch: str, dtype: Any = jnp.float32, name: str = "backbone") -> ResNet:
+    if arch == "resnet18":
+        return ResNet18(dtype=dtype, name=name)
+    if arch in ("wide_resnet50_2", "wide_resnet50"):
+        return WideResNet50_2(dtype=dtype, name=name)
+    raise ValueError(f"unknown backbone '{arch}' (resnet18 | wide_resnet50_2)")

@@ -25,9 +25,13 @@ def _conv(k):
     return np.transpose(np.asarray(k), (2, 3, 1, 0))  # OIHW → HWIO
 
 
-def convert_resnet18_state_dict(state_dict: Dict[str, Any]) -> Tuple[dict, dict]:
-    """torchvision resnet18 state_dict → (params, batch_stats) subtrees
-    for the `backbone` module of models/resnet.ResNet18."""
+def convert_resnet_state_dict(state_dict: Dict[str, Any]) -> Tuple[dict, dict]:
+    """torchvision ResNet-family state_dict → (params, batch_stats)
+    subtrees for the `backbone` module of models/resnet.ResNet.
+
+    Handles basic (resnet18/34: conv1-2) and bottleneck
+    (resnet50/wide_resnet50_2: conv1-3) blocks; stage depths are read
+    off the key set, so any torchvision ResNet variant converts."""
     sd = {k: np.asarray(v) for k, v in state_dict.items() if "num_batches" not in k}
     params: dict = {}
     stats: dict = {}
@@ -46,21 +50,27 @@ def convert_resnet18_state_dict(state_dict: Dict[str, Any]) -> Tuple[dict, dict]
     put_bn("bn1", "bn1", params, stats)
 
     for stage in range(1, 5):
-        for block in range(2):
+        block = 0
+        while f"layer{stage}.{block}.conv1.weight" in sd:
             name = f"layer{stage}_{block}"
             tp: dict = {}
             ts: dict = {}
             prefix = f"layer{stage}.{block}"
-            tp["conv1"] = {"kernel": _conv(sd[f"{prefix}.conv1.weight"])}
-            put_bn("bn1", f"{prefix}.bn1", tp, ts)
-            tp["conv2"] = {"kernel": _conv(sd[f"{prefix}.conv2.weight"])}
-            put_bn("bn2", f"{prefix}.bn2", tp, ts)
+            n_convs = 3 if f"{prefix}.conv3.weight" in sd else 2
+            for c in range(1, n_convs + 1):
+                tp[f"conv{c}"] = {"kernel": _conv(sd[f"{prefix}.conv{c}.weight"])}
+                put_bn(f"bn{c}", f"{prefix}.bn{c}", tp, ts)
             if f"{prefix}.downsample.0.weight" in sd:
                 tp["downsample_conv"] = {"kernel": _conv(sd[f"{prefix}.downsample.0.weight"])}
                 put_bn("downsample_bn", f"{prefix}.downsample.1", tp, ts)
             params[name] = tp
             stats[name] = ts
+            block += 1
     return params, stats
+
+
+# backwards-compatible alias
+convert_resnet18_state_dict = convert_resnet_state_dict
 
 
 def load_resnet18_into(params: dict, path: str, batch_stats: dict | None = None) -> dict:

@@ -169,3 +169,106 @@ class TestMemoryBank:
         emb = jnp.ones((8, 4))
         bank = step(bank, emb, jnp.ones(8, bool))
         assert int(bank.count) == 8
+
+
+class TestWideResNet50:
+    """wide_resnet50_2 backbone (BASELINE.json config 4): bottleneck
+    blocks, 2× inner width, PatchCore-style feature widths."""
+
+    def test_forward_shapes(self):
+        from ssad_tpu.models.resnet import WideResNet50_2
+
+        model = WideResNet50_2(dtype=jnp.float32)
+        vars_ = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)), train=False)
+        pooled, feats = model.apply(vars_, jnp.zeros((1, 64, 64, 3)), train=False)
+        assert pooled.shape == (1, 2048)
+        assert feats["layer2"].shape[-1] == 512
+        assert feats["layer3"].shape[-1] == 1024
+        assert feats["layer4"].shape[-1] == 2048
+
+    def test_peranet_with_wide_backbone(self):
+        from ssad_tpu.config import ModelConfig
+        from ssad_tpu.models.peranet import build_model, init_model
+
+        model = build_model(ModelConfig(backbone="wide_resnet50_2", compute_dtype="float32"))
+        params, stats = init_model(model, jax.random.key(0), (1, 64, 64, 3))
+        out = model.apply(
+            {"params": params, "batch_stats": stats}, jnp.ones((1, 64, 64, 3)), train=False
+        )
+        assert out["classifier"].shape == (1, 4)
+        assert out["latent_space"].shape == (1, 512)
+
+    def test_converter_handles_bottleneck(self):
+        from ssad_tpu.models.resnet import WideResNet50_2
+        from ssad_tpu.utils.torch_weights import convert_resnet_state_dict
+
+        model = WideResNet50_2(dtype=jnp.float32)
+        vars_ = model.init(jax.random.key(1), jnp.zeros((1, 64, 64, 3)), train=False)
+        params, stats = vars_["params"], vars_["batch_stats"]
+
+        # build a torchvision-layout fake state dict from the flax tree
+        sd = {}
+        rng = np.random.default_rng(0)
+
+        def fake(shape):
+            return rng.normal(size=shape).astype(np.float32)
+
+        sd["conv1.weight"] = fake(np.transpose(params["conv1"]["kernel"], (3, 2, 0, 1)).shape)
+        for bn_t, bn_f in [("bn1", "bn1")]:
+            sd["bn1.weight"] = fake(params["bn1"]["scale"].shape)
+            sd["bn1.bias"] = fake(params["bn1"]["bias"].shape)
+            sd["bn1.running_mean"] = fake(stats["bn1"]["mean"].shape)
+            sd["bn1.running_var"] = np.abs(fake(stats["bn1"]["var"].shape)) + 0.5
+        for name in params:
+            if not name.startswith("layer"):
+                continue
+            stage, block = name[5:].split("_")
+            prefix = f"layer{stage}.{block}"
+            for sub, p in params[name].items():
+                if sub.startswith("conv"):
+                    sd[f"{prefix}.{sub}.weight"] = fake(
+                        np.transpose(p["kernel"], (3, 2, 0, 1)).shape)
+                elif sub == "downsample_conv":
+                    sd[f"{prefix}.downsample.0.weight"] = fake(
+                        np.transpose(p["kernel"], (3, 2, 0, 1)).shape)
+                elif sub.startswith("bn") or sub == "downsample_bn":
+                    tprefix = f"{prefix}.{sub}" if sub.startswith("bn") else f"{prefix}.downsample.1"
+                    sd[f"{tprefix}.weight"] = fake(p["scale"].shape)
+                    sd[f"{tprefix}.bias"] = fake(p["bias"].shape)
+                    sd[f"{tprefix}.running_mean"] = fake(p["scale"].shape)
+                    sd[f"{tprefix}.running_var"] = np.abs(fake(p["scale"].shape)) + 0.5
+
+        got_p, got_s = convert_resnet_state_dict(sd)
+        # structural + shape match against the flax tree
+        tp = jax.tree_util.tree_structure(jax.tree_util.tree_map(np.shape, params))
+        tg = jax.tree_util.tree_structure(jax.tree_util.tree_map(np.shape, got_p))
+        assert tp == tg
+        for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(got_p)):
+            assert np.shape(a) == np.shape(b)
+        # values transpose back correctly
+        np.testing.assert_allclose(
+            got_p["conv1"]["kernel"],
+            np.transpose(sd["conv1.weight"], (2, 3, 1, 0)),
+        )
+
+
+class TestMahalanobisDetector:
+    def test_separates_outliers(self, rng):
+        from ssad_tpu.models.detector import MahalanobisDetector
+
+        normal = rng.normal(0, 1, (300, 16)).astype(np.float32)
+        far = rng.normal(8, 1, (20, 16)).astype(np.float32)
+        d = MahalanobisDetector().fit(jnp.asarray(normal), jax.random.key(0))
+        s_in = np.asarray(d.predict(jnp.asarray(normal[:50])))
+        s_out = np.asarray(d.predict(jnp.asarray(far)))
+        assert s_out.min() > s_in.max()
+        assert (np.asarray(d.predict_labels(jnp.asarray(far))) == 1).mean() > 0.9
+
+    def test_patch_reshape(self, rng):
+        from ssad_tpu.models.detector import MahalanobisDetector
+
+        normal = rng.normal(0, 1, (100, 8)).astype(np.float32)
+        d = MahalanobisDetector(patch_level=True, batch=2, num_patches=9)
+        d.fit(jnp.asarray(normal))
+        maps = d.predict(jnp.asarray(rng.normal(0, 1, (18, 8)).astype(np.float32)))
+        assert maps.shape == (2, 1, 3, 3)
