@@ -89,8 +89,8 @@ def make_multi_category_step(
             if cfg.model.pretrained_backbone:
                 from ssad_tpu.utils import torch_weights
 
-                params = torch_weights.load_resnet18_into(
-                    params, cfg.model.pretrained_backbone
+                params, stats = torch_weights.load_resnet18_into(
+                    params, cfg.model.pretrained_backbone, stats
                 )
             return params, stats, tx.init(params), init_bank(
                 cfg.model.memory_bank_size, cfg.model.latent_dim

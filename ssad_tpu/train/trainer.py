@@ -243,8 +243,8 @@ class Trainer:
         if self.cfg.model.pretrained_backbone:
             from ssad_tpu.utils import torch_weights
 
-            params = torch_weights.load_resnet18_into(
-                params, self.cfg.model.pretrained_backbone
+            params, batch_stats = torch_weights.load_resnet18_into(
+                params, self.cfg.model.pretrained_backbone, batch_stats
             )
         self._params_template = params
         _, _, tx, _ = self._get_step_fns(stage)

@@ -73,12 +73,15 @@ def convert_resnet_state_dict(state_dict: Dict[str, Any]) -> Tuple[dict, dict]:
 convert_resnet18_state_dict = convert_resnet_state_dict
 
 
-def load_resnet18_into(params: dict, path: str, batch_stats: dict | None = None) -> dict:
+def load_resnet18_into(params: dict, path: str, batch_stats: dict | None = None):
     """Replace the `backbone` subtree of a PeraNet param tree with
     converted torchvision weights from `path` (a torch .pth/.pt file).
 
-    Returns the updated params; mutates `batch_stats['backbone']` in
-    place when given.
+    When `batch_stats` is given, the ImageNet BN running mean/var are
+    converted too (the reference loads the FULL state dict incl. running
+    stats, models.py:59 — eval-mode embeddings are wrong without them)
+    and `(new_params, new_batch_stats)` is returned; otherwise just the
+    new params.
     """
     import torch
 
@@ -89,8 +92,10 @@ def load_resnet18_into(params: dict, path: str, batch_stats: dict | None = None)
 
     new_params = dict(params)
     new_params["backbone"] = _cast_like(params["backbone"], bb_params)
-    if batch_stats is not None and "backbone" in batch_stats:
-        batch_stats["backbone"] = _cast_like(batch_stats["backbone"], bb_stats)
+    if batch_stats is not None:
+        new_stats = dict(batch_stats)
+        new_stats["backbone"] = _cast_like(batch_stats["backbone"], bb_stats)
+        return new_params, new_stats
     return new_params
 
 

@@ -65,40 +65,48 @@ class TestPeraNet:
         assert "downsample_conv" not in bb["layer1_0"]
 
 
+def fake_resnet18_state_dict(torch, seed=0):
+    """torchvision-layout resnet18 state dict with random weights AND
+    non-trivial BN running stats (so stats-loading is observable)."""
+    sd = {}
+    rng = np.random.default_rng(seed)
+
+    def add_bn(prefix, c):
+        sd[f"{prefix}.weight"] = torch.tensor(rng.normal(size=(c,)).astype(np.float32))
+        sd[f"{prefix}.bias"] = torch.zeros(c)
+        sd[f"{prefix}.running_mean"] = torch.tensor(
+            rng.normal(size=(c,)).astype(np.float32))
+        sd[f"{prefix}.running_var"] = torch.tensor(
+            rng.uniform(0.5, 2.0, size=(c,)).astype(np.float32))
+        sd[f"{prefix}.num_batches_tracked"] = torch.tensor(0)
+
+    sd["conv1.weight"] = torch.tensor(rng.normal(size=(64, 3, 7, 7)).astype(np.float32))
+    add_bn("bn1", 64)
+    chans = {1: (64, 64), 2: (64, 128), 3: (128, 256), 4: (256, 512)}
+    for stage, (cin, cout) in chans.items():
+        for block in range(2):
+            pre = f"layer{stage}.{block}"
+            i = cin if block == 0 else cout
+            sd[f"{pre}.conv1.weight"] = torch.tensor(
+                rng.normal(size=(cout, i, 3, 3)).astype(np.float32))
+            add_bn(f"{pre}.bn1", cout)
+            sd[f"{pre}.conv2.weight"] = torch.tensor(
+                rng.normal(size=(cout, cout, 3, 3)).astype(np.float32))
+            add_bn(f"{pre}.bn2", cout)
+            if stage > 1 and block == 0:
+                sd[f"{pre}.downsample.0.weight"] = torch.tensor(
+                    rng.normal(size=(cout, i, 1, 1)).astype(np.float32))
+                add_bn(f"{pre}.downsample.1", cout)
+    return sd
+
+
 class TestTorchWeightsConverter:
     def test_roundtrip_with_fake_state_dict(self, small_model, tmp_path):
         torch = pytest.importorskip("torch")
         from ssad_tpu.utils import torch_weights
 
         model, params, stats = small_model
-        # build a fake torchvision-layout state dict with correct shapes
-        sd = {}
-        rng = np.random.default_rng(0)
-
-        def add_bn(prefix, c):
-            sd[f"{prefix}.weight"] = torch.tensor(rng.normal(size=(c,)).astype(np.float32))
-            sd[f"{prefix}.bias"] = torch.zeros(c)
-            sd[f"{prefix}.running_mean"] = torch.zeros(c)
-            sd[f"{prefix}.running_var"] = torch.ones(c)
-            sd[f"{prefix}.num_batches_tracked"] = torch.tensor(0)
-
-        sd["conv1.weight"] = torch.tensor(rng.normal(size=(64, 3, 7, 7)).astype(np.float32))
-        add_bn("bn1", 64)
-        chans = {1: (64, 64), 2: (64, 128), 3: (128, 256), 4: (256, 512)}
-        for stage, (cin, cout) in chans.items():
-            for block in range(2):
-                pre = f"layer{stage}.{block}"
-                i = cin if block == 0 else cout
-                sd[f"{pre}.conv1.weight"] = torch.tensor(
-                    rng.normal(size=(cout, i, 3, 3)).astype(np.float32))
-                add_bn(f"{pre}.bn1", cout)
-                sd[f"{pre}.conv2.weight"] = torch.tensor(
-                    rng.normal(size=(cout, cout, 3, 3)).astype(np.float32))
-                add_bn(f"{pre}.bn2", cout)
-                if stage > 1 and block == 0:
-                    sd[f"{pre}.downsample.0.weight"] = torch.tensor(
-                        rng.normal(size=(cout, i, 1, 1)).astype(np.float32))
-                    add_bn(f"{pre}.downsample.1", cout)
+        sd = fake_resnet18_state_dict(torch)
         path = tmp_path / "resnet18.pth"
         torch.save(sd, path)
 
@@ -113,6 +121,66 @@ class TestTorchWeightsConverter:
             train=False,
         )
         assert np.isfinite(np.asarray(model_out["classifier"])).all()
+
+    def test_running_stats_load_and_change_eval_outputs(self, small_model, tmp_path):
+        """Converted BN running mean/var must land in batch_stats and
+        shift eval-mode outputs (ADVICE r1 high: they were silently
+        dropped; reference loads the full state dict, models.py:59)."""
+        torch = pytest.importorskip("torch")
+        from ssad_tpu.utils import torch_weights
+
+        model, params, stats = small_model
+        sd = fake_resnet18_state_dict(torch)
+        path = tmp_path / "resnet18.pth"
+        torch.save(sd, path)
+
+        new_params, new_stats = torch_weights.load_resnet18_into(
+            params, str(path), stats
+        )
+        got = np.asarray(new_stats["backbone"]["bn1"]["mean"])
+        np.testing.assert_allclose(got, sd["bn1.running_mean"].numpy(), atol=1e-6)
+        got_var = np.asarray(new_stats["backbone"]["layer4_1"]["bn2"]["var"])
+        np.testing.assert_allclose(
+            got_var, sd["layer4.1.bn2.running_var"].numpy(), atol=1e-6
+        )
+        # non-backbone stats untouched
+        np.testing.assert_array_equal(
+            np.asarray(new_stats["concatenator_bn"]["mean"]),
+            np.asarray(stats["concatenator_bn"]["mean"]),
+        )
+
+        m = build_model(ModelConfig(compute_dtype="float32"))
+        x = jnp.asarray(np.random.default_rng(1).random((2, 64, 64, 3), np.float32))
+        out_init = m.apply(
+            {"params": new_params, "batch_stats": stats}, x, train=False
+        )["latent_space"]
+        out_loaded = m.apply(
+            {"params": new_params, "batch_stats": new_stats}, x, train=False
+        )["latent_space"]
+        assert not np.allclose(np.asarray(out_init), np.asarray(out_loaded))
+
+    def test_trainer_init_state_loads_running_stats(self, tmp_path, fake_mvtec):
+        """Trainer.init_state with pretrained_backbone must carry the
+        converted running stats into the train state (trainer.py)."""
+        torch = pytest.importorskip("torch")
+        from ssad_tpu.config import DataConfig, ModelConfig, TrainConfig
+        from ssad_tpu.data import mvtec
+        from ssad_tpu.train.trainer import Trainer
+
+        sd = fake_resnet18_state_dict(torch)
+        path = tmp_path / "resnet18.pth"
+        torch.save(sd, path)
+
+        cfg = TrainConfig(
+            data=DataConfig(dataset_dir=str(fake_mvtec), subject="bottle",
+                            imsize=(64, 64), batch_size=4, min_dataset_length=4),
+            model=ModelConfig(compute_dtype="float32", memory_bank_size=16,
+                              pretrained_backbone=str(path)),
+        )
+        data = mvtec.prepare_pretext_data(str(fake_mvtec), "bottle", imsize=(64, 64))
+        state = Trainer(cfg, data).init_state(jax.random.key(0), "projection")
+        got = np.asarray(state.batch_stats["backbone"]["bn1"]["mean"])
+        np.testing.assert_allclose(got, sd["bn1.running_mean"].numpy(), atol=1e-6)
 
 
 class TestAnomalyDetector:
