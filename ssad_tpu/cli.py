@@ -19,10 +19,12 @@ import sys
 from pathlib import Path
 
 from ssad_tpu import constants
-from ssad_tpu.config import DataConfig, EvalConfig, ModelConfig, OptimConfig, TrainConfig
+from ssad_tpu.config import (
+    DataConfig, EvalConfig, MeshConfig, ModelConfig, OptimConfig, TrainConfig,
+)
 
 
-def _train_cfg(args) -> TrainConfig:
+def _train_cfg(args, n_model: int = 1) -> TrainConfig:
     return TrainConfig(
         data=DataConfig(
             dataset_dir=args.dataset_dir,
@@ -41,17 +43,38 @@ def _train_cfg(args) -> TrainConfig:
             fine_tune_epochs=args.fine_tune_epochs,
             fine_tune_lr=args.fine_tune_lr,
         ),
+        mesh=MeshConfig(
+            data_axis=getattr(args, "data_shards", None) or -1,
+            model_axis=n_model,
+        ),
         outputs_dir=args.outputs_dir,
         seed=args.seed,
     )
 
 
 def cmd_train(args) -> int:
+    from ssad_tpu.data import mvtec
     from ssad_tpu.train import checkpoint as ckpt
-    from ssad_tpu.train.trainer import train_category
+    from ssad_tpu.train.trainer import Trainer
 
     cfg = _train_cfg(args)
-    result = train_category(cfg, verbose=not args.quiet)
+    mesh = None
+    if getattr(args, "data_shards", None):
+        # single-category data parallelism: shard the synthesized batch
+        # over a (1, N) mesh; XLA all-reduces the gradients over ICI
+        import jax
+
+        from ssad_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_model=1, devices=jax.devices()[: args.data_shards])
+    data = mvtec.prepare_pretext_data(
+        cfg.data.dataset_dir, cfg.data.subject, imsize=cfg.data.imsize,
+        val_fraction=cfg.data.train_val_split, seed=cfg.data.seed,
+        patch_localization=cfg.data.patch_localization,
+    )
+    result = Trainer(cfg, data, mesh=mesh).fit(
+        seed=cfg.seed, verbose=not args.quiet
+    )
     out = Path(args.outputs_dir) / args.subject
     path = ckpt.save_checkpoint(out, result.params, result.batch_stats, result.bank, cfg)
     if result.best_params is not None:
@@ -93,7 +116,6 @@ def cmd_train_multi(args) -> int:
     from ssad_tpu.train import checkpoint as ckpt
 
     subjects = _subjects(args)
-    cfg = _train_cfg(argparse.Namespace(**{**vars(args), "subject": subjects[0]}))
     n_dev = len(jax.devices())
     if args.model_shards:
         n_model = args.model_shards
@@ -101,7 +123,11 @@ def cmd_train_multi(args) -> int:
         # largest divisor of the device count ≤ the subject count, so the
         # ('model', 'data') mesh always factorizes
         n_model = max(d for d in range(1, n_dev + 1) if n_dev % d == 0 and d <= max(len(subjects), 1))
-    mesh = make_mesh(n_model=n_model)
+    cfg = _train_cfg(
+        argparse.Namespace(**{**vars(args), "subject": subjects[0]}), n_model=n_model
+    )
+    # the saved config records the mesh the run actually used
+    mesh = make_mesh(n_model=cfg.mesh.model_axis)
     datas = [
         mvtec.prepare_pretext_data(
             args.dataset_dir, s, imsize=cfg.data.imsize, seed=args.seed
@@ -204,6 +230,34 @@ def cmd_qa(args) -> int:
     return 0
 
 
+def cmd_parity(args) -> int:
+    """End-to-end accuracy-parity run (see ssad_tpu/parity.py)."""
+    from ssad_tpu.parity import run_parity
+
+    subjects = None
+    if args.subjects and args.subjects != "default":
+        subjects = (
+            list(constants.ALL_CATEGORIES) if args.subjects == "all"
+            else [s.strip() for s in args.subjects.split(",") if s.strip()]
+        )
+    run_parity(
+        dataset_dir=args.dataset_dir,
+        outputs_dir=args.outputs_dir,
+        subjects=subjects,
+        imsize=args.imsize,
+        batch_size=args.batch_size,
+        projection_epochs=args.projection_epochs,
+        fine_tune_epochs=args.fine_tune_epochs,
+        pretrained_backbone=args.pretrained_backbone,
+        patch_dim=args.patch_dim,
+        stride=args.stride,
+        modes=[m.strip() for m in args.modes.split(",") if m.strip()],
+        seed=args.seed,
+        verbose=not args.quiet,
+    )
+    return 0
+
+
 def _subjects(args):
     if args.subjects == "all":
         return list(constants.ALL_CATEGORIES)
@@ -241,6 +295,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["resnet18", "wide_resnet50_2"])
     t.add_argument("--pretrained-backbone", default=None,
                    help="path to a torchvision resnet18 state_dict (.pth)")
+    t.add_argument("--data-shards", type=int, default=None,
+                   help="shard the batch over the first N devices "
+                        "(single-category data parallelism)")
     t.add_argument("--quiet", action="store_true")
     t.set_defaults(fn=cmd_train)
 
@@ -289,6 +346,29 @@ def build_parser() -> argparse.ArgumentParser:
     common(q)
     q.add_argument("--subject", required=True)
     q.set_defaults(fn=cmd_qa)
+
+    pa = sub.add_parser(
+        "parity",
+        help="end-to-end accuracy-parity run (synthetic 3-category dataset "
+             "by default; --dataset-dir runs the real MVTec sweep)",
+    )
+    pa.add_argument("--dataset-dir", default=None,
+                    help="MVTec root; omit to generate the synthetic dataset")
+    pa.add_argument("--outputs-dir", default="outputs/parity")
+    pa.add_argument("--platform", default=None, choices=["cpu", "tpu", "gpu"])
+    pa.add_argument("--subjects", default="default",
+                    help="'default' (synthetic trio or all-15), 'all', or a list")
+    pa.add_argument("--imsize", type=int, default=256)
+    pa.add_argument("--batch-size", type=int, default=96)
+    pa.add_argument("--projection-epochs", type=int, default=5)
+    pa.add_argument("--fine-tune-epochs", type=int, default=15)
+    pa.add_argument("--pretrained-backbone", default=None)
+    pa.add_argument("--patch-dim", type=int, default=32)
+    pa.add_argument("--stride", type=int, default=8)
+    pa.add_argument("--modes", default="image,patch")
+    pa.add_argument("--seed", type=int, default=0)
+    pa.add_argument("--quiet", action="store_true")
+    pa.set_defaults(fn=cmd_parity)
     return p
 
 

@@ -98,6 +98,15 @@ class ModelConfig:
     latent_dim: int = 512  # models.py:28 (+ last_dim override :137)
     num_classes: int = 4  # models.py:29
     memory_bank_size: int = 1000  # models.py:30
+    #: rows of the batch considered for memory-bank fill per step.  The
+    #: fill needs a second, eval-mode forward of the clean originals
+    #: (see trainer.bank_fill_embeddings); embedding the whole batch
+    #: costs ~⅓ extra step time while only ~¼ of rows pass the
+    #: y==0∧ŷ==0 acceptance mask anyway.  Rows are iid, so embedding a
+    #: fixed prefix leaves the bank's content distribution unchanged and
+    #: it still fills well within the fill phase.  None = all rows (the
+    #: reference embeds every accepted row, models.py:270-275).
+    bank_fill_rows: Optional[int] = 32
     #: parameter/compute dtype for the backbone on TPU
     compute_dtype: str = "bfloat16"
     #: optional path to a torchvision resnet18 IMAGENET1K_V1 state_dict;
@@ -118,6 +127,9 @@ class OptimConfig:
     weight_decay: float = 5e-4
     #: save best-val-loss checkpoint cadence in fine-tune (tools.py:290)
     checkpoint_every_n_epochs: int = 5
+    #: validation batches per epoch; None = the reference's full val
+    #: pass (tools.py:284-306).  Smoke tests set a small cap.
+    val_batches: Optional[int] = None
 
 
 @dataclasses.dataclass(frozen=True)

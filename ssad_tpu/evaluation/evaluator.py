@@ -111,29 +111,91 @@ class Evaluator:
 # --- artificial (pretext) evaluation ----------------------------------------
 
 
+PRETEXT_CLASS_NAMES = ("good", "polygon patch", "scar", "line")
+
+
 @dataclasses.dataclass
 class ArtificialScores:
     accuracy: float
     f1_macro: float
     auroc_binary: float
+    #: per-class rows {name: (precision, recall, f1, support)} — the
+    #: reference prints sklearn's full classification_report
+    #: (evaluator.py:31-126)
+    per_class: Optional[Dict[str, Tuple[float, float, float, int]]] = None
+
+    def classification_report(self) -> str:
+        """Plain-text per-class report (precision/recall/f1/support),
+        matching the shape of the reference's printed sklearn report."""
+        lines = [f"{'':>14} {'precision':>9} {'recall':>9} {'f1-score':>9} {'support':>9}"]
+        for name, (p, r, f1, n) in (self.per_class or {}).items():
+            lines.append(f"{name:>14} {p:9.4f} {r:9.4f} {f1:9.4f} {n:9d}")
+        lines.append("")
+        lines.append(f"{'accuracy':>14} {'':>9} {'':>9} {self.accuracy:9.4f}")
+        lines.append(f"{'macro f1':>14} {'':>9} {'':>9} {self.f1_macro:9.4f}")
+        lines.append(f"{'binary auroc':>14} {'':>9} {'':>9} {self.auroc_binary:9.4f}")
+        return "\n".join(lines)
 
 
 def evaluate_artificial(outputs: ModelOutputs) -> ArtificialScores:
     """4-way pretext classification quality (reference
-    ArtificialEvaluator, evaluator.py:31-126): multiclass accuracy,
-    macro F1, and binary good-vs-defect AUROC from softmax scores."""
+    ArtificialEvaluator, evaluator.py:31-126): per-class
+    precision/recall/F1/support, multiclass accuracy, macro F1, and
+    binary good-vs-defect AUROC from softmax scores."""
     y = np.asarray(outputs.y_true_multiclass)
     logits = np.asarray(outputs.raw_predictions, np.float64)
     y_hat = np.argmax(logits, axis=1)
     accuracy = float((y_hat == y).mean())
+    per_class: Dict[str, Tuple[float, float, float, int]] = {}
     f1s = []
-    for c in np.unique(y):
-        f1s.append(M.f1_score(y == c, (y_hat == c).astype(float), 0.5))
+    for c in range(logits.shape[1]):
+        tp = float(((y_hat == c) & (y == c)).sum())
+        fp = float(((y_hat == c) & (y != c)).sum())
+        fn = float(((y_hat != c) & (y == c)).sum())
+        support = int((y == c).sum())
+        prec = tp / max(tp + fp, 1e-12)
+        rec = tp / max(tp + fn, 1e-12)
+        f1 = 2 * prec * rec / max(prec + rec, 1e-12)
+        name = PRETEXT_CLASS_NAMES[c] if c < len(PRETEXT_CLASS_NAMES) else str(c)
+        per_class[name] = (prec, rec, f1, support)
+        if support:
+            f1s.append(f1)
     probs = np.exp(logits - logits.max(axis=1, keepdims=True))
     probs /= probs.sum(axis=1, keepdims=True)
     defect_score = 1.0 - probs[:, 0]
     auroc_bin = M.auroc(y > 0, defect_score)
-    return ArtificialScores(accuracy, float(np.mean(f1s)), auroc_bin)
+    return ArtificialScores(accuracy, float(np.mean(f1s)), auroc_bin, per_class)
+
+
+def _render_eval_gradcams(
+    engine: inf.InferenceEngine,
+    outputs: ModelOutputs,
+    outputs_dir: str,
+    subject: str,
+    max_images: int = 8,
+) -> List[str]:
+    """Grad-CAM heatmap overlays for test images the classifier calls
+    defective (reference evaluator.py:271-284 renders a saliency map for
+    every y_hat>0 image during image-level evaluation)."""
+    from ssad_tpu.evaluation import visualization as vis
+    from ssad_tpu.models.gradcam import gradcam_or_zero
+
+    y_hat = np.asarray(outputs.y_hat)
+    picks = np.where(y_hat > 0)[0][:max_images]
+    paths = []
+    for i in picks:
+        x = jnp.asarray(outputs.tensor_data[i])[None]
+        maps = gradcam_or_zero(
+            engine.model, engine.params, engine.batch_stats, x, y_hat[i : i + 1]
+        )
+        raw = np.asarray(outputs.original_data[i])
+        overlay = vis.heatmap_overlay(raw, np.asarray(maps[0]))
+        paths.append(
+            vis.save_image(
+                overlay, Path(outputs_dir) / "gradcam" / f"{subject}_{i}_gradcam.png"
+            )
+        )
+    return paths
 
 
 # --- per-category full evaluation -------------------------------------------
@@ -194,6 +256,10 @@ def evaluate_category(
             if outputs_dir:
                 from ssad_tpu.evaluation import visualization as vis
 
+                Path(outputs_dir).mkdir(parents=True, exist_ok=True)
+                (Path(outputs_dir) / f"{subject}_artificial_report.txt").write_text(
+                    result.artificial.classification_report() + "\n"
+                )
                 vis.plot_tsne(
                     np.concatenate([np.asarray(art.embeddings), np.asarray(outputs.embeddings)]),
                     np.concatenate([
@@ -208,6 +274,10 @@ def evaluate_category(
 
             vis.plot_curve(fpr, tpr, result.image_auroc, outputs_dir,
                            f"Roc curve for {subject.upper()}", f"{subject}_image_roc.png")
+            # Grad-CAM saliency for predicted-defect test images
+            # (reference renders these during image-level evaluation,
+            # evaluator.py:271-284; they feed no metric)
+            _render_eval_gradcams(engine, outputs, outputs_dir, subject)
     else:
         # --- patch level (evaluator.py:286-374) ---
         normality = inf.normality_embeddings(
@@ -215,6 +285,7 @@ def evaluate_category(
             patch_localization=True, patch_dim=cfg.patch_dim, stride=cfg.stride,
             min_bank_rows=10**9,  # patch mode always re-embeds (evaluator.py:297-300)
             max_images=n_normality_images,
+            seed=cfg.seed,
         )
         detector = AnomalyDetector(k=cfg.knn_k).fit(normality, jax.random.key(cfg.seed))
 

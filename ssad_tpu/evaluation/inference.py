@@ -169,14 +169,22 @@ def normality_embeddings(
     stride: int = 8,
     min_bank_rows: int = 100,
     max_images: Optional[int] = None,
+    seed: int = 0,
 ) -> jax.Array:
     """Normality source: bank when populated, else train-set embeddings
-    (tools.py:359-381; see module docstring for the deviations)."""
+    (tools.py:359-381; see module docstring for the deviations).
+
+    When capped by max_images, the images are a seeded *random* sample
+    of the train set (the reference picks random ones too,
+    localizer.py:55-90)."""
     if bank is not None and int(bank.count) >= min_bank_rows:
         return jnp.asarray(newest_first(bank))
     images = data.train_images
-    if max_images is not None:
-        images = images[:max_images]
+    if max_images is not None and images.shape[0] > max_images:
+        pick = np.random.default_rng(seed).choice(
+            images.shape[0], size=max_images, replace=False
+        )
+        images = images[np.sort(pick)]
     embs = []
     for lo in range(0, images.shape[0], batch_size):
         x = jax.vmap(im.normalize_imagenet)(jnp.asarray(images[lo : lo + batch_size]))

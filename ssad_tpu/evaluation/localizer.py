@@ -46,7 +46,7 @@ class Localizer:
                 self.engine, None, data, batch_size=2,
                 patch_localization=True,
                 patch_dim=self.cfg.patch_dim, stride=self.cfg.stride,
-                min_bank_rows=10**9, max_images=n_train_images,
+                min_bank_rows=10**9, max_images=n_train_images, seed=seed,
             )
             self.detector = AnomalyDetector(k=self.cfg.knn_k).fit(
                 normality, jax.random.key(seed)

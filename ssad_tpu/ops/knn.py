@@ -111,11 +111,32 @@ def knn_cosine_scores_pallas(queries: jax.Array, bank: jax.Array, k: int = 3) ->
     return out[:n, 0]
 
 
+_warned_fallback = False
+
+
 def knn_cosine_scores(queries: jax.Array, bank: jax.Array, k: int = 3) -> jax.Array:
-    """Dispatch to the Pallas kernel on TPU, XLA elsewhere."""
-    if jax.default_backend() == "tpu":
+    """Dispatch to the Pallas kernel on TPU, XLA elsewhere.
+
+    ``SSAD_FORCE_PALLAS=1`` makes a kernel failure fatal (so TPU tests
+    can assert the kernel path actually executes); otherwise a broken
+    kernel warns once and degrades to the XLA implementation.
+    """
+    import os
+
+    force = os.environ.get("SSAD_FORCE_PALLAS") == "1"
+    if force or jax.default_backend() == "tpu":
         try:
             return knn_cosine_scores_pallas(queries, bank, k=k)
-        except Exception:
-            pass
+        except Exception as e:
+            if force:
+                raise
+            global _warned_fallback
+            if not _warned_fallback:
+                _warned_fallback = True
+                import warnings
+
+                warnings.warn(
+                    f"Pallas kNN kernel failed, falling back to XLA: {e!r}",
+                    RuntimeWarning,
+                )
     return knn_cosine_scores_xla(queries, bank, k=k)

@@ -29,7 +29,7 @@ from ssad_tpu.data.synthetic import SynthSpec, batched_synthesizer
 from ssad_tpu.models.peranet import build_model, init_model
 from ssad_tpu.train import optim as optim_mod
 from ssad_tpu.train.memory_bank import MemoryBank, init_bank, insert
-from ssad_tpu.train.trainer import bank_fill_embeddings
+from ssad_tpu.train.trainer import _epoch_steps, bank_fill_embeddings
 
 
 class StackedState(NamedTuple):
@@ -58,21 +58,29 @@ def make_multi_category_step(
     spec: SynthSpec,
     mesh: Mesh,
     stage: str = "fine_tune",
+    steps_per_epoch: int | None = None,
 ):
     """Build (init_fn, step_fn) for the stacked trainer.
 
     step_fn(state, keys (C,), data, fill) → (state, metrics (C, 2)).
     All array programs are written in global view; shardings are
     annotated and XLA lowers the collectives (scaling-book recipe).
-    """
-    import math
 
+    steps_per_epoch feeds the fine-tune cosine schedule; pass the value
+    from ``_epoch_steps`` on the group's common image count so stacked
+    and single-category runs of the same config train identical step
+    counts (default approximates it from min_dataset_length alone).
+    """
     model = build_model(cfg.model)
     # per-category template for the optimizer's label tree — the same
     # two-phase construction as the single-category Trainer (frozen
     # backbone in 'projection', cosine decay in 'fine_tune')
     template_params, _ = init_model(model, jax.random.key(0), (1, 64, 64, 3))
-    steps_per_epoch = max(math.ceil(cfg.data.min_dataset_length / cfg.data.batch_size), 1)
+    if steps_per_epoch is None:
+        steps_per_epoch = _epoch_steps(
+            cfg.data.min_dataset_length, cfg.data.min_dataset_length,
+            cfg.data.batch_size,
+        )
     tx = optim_mod.build_optimizer(cfg.optim, stage, steps_per_epoch, template_params)
     synth = batched_synthesizer(spec, per_image_masks=False)
     b = cfg.data.batch_size
@@ -137,8 +145,14 @@ def make_multi_category_step(
         new_params = optax.apply_updates(params, updates)
         y_hat = jnp.argmax(logits, axis=-1)
         acc = jnp.mean((y_hat == y).astype(jnp.float32))
-        mask_fill = (y == 0) & (y_hat == 0) & fill
-        emb_eval = bank_fill_embeddings(model, new_params, new_stats, orig, fill, emb)
+        # bank-fill on the first bank_fill_rows iid rows only — same
+        # subsampling as the single-category step (ModelConfig docs)
+        rows = cfg.model.bank_fill_rows
+        rows = orig.shape[0] if rows is None else min(rows, orig.shape[0])
+        mask_fill = (y[:rows] == 0) & (y_hat[:rows] == 0) & fill
+        emb_eval = bank_fill_embeddings(
+            model, new_params, new_stats, orig[:rows], fill, emb[:rows]
+        )
         new_bank = insert(bank, emb_eval, mask_fill)
         return new_params, new_stats, new_opt, new_bank, jnp.stack([loss, acc])
 
@@ -164,17 +178,17 @@ def make_multi_category_step(
     return init_fn, step_fn
 
 
-def _fresh_opt_and_bank(cfg: TrainConfig, mesh: Mesh, state: StackedState, stage: str):
+def _fresh_opt_and_bank(
+    cfg: TrainConfig, mesh: Mesh, state: StackedState, stage: str,
+    steps_per_epoch: int,
+):
     """Stacked fresh optimizer state (for the carried params) + empty
     bank, without re-initializing model parameters."""
-    import math
-
     from ssad_tpu.models.peranet import init_model as _init
 
     model = build_model(cfg.model)
     template, _ = _init(model, jax.random.key(0), (1, 64, 64, 3))
-    steps = max(math.ceil(cfg.data.min_dataset_length / cfg.data.batch_size), 1)
-    tx = optim_mod.build_optimizer(cfg.optim, stage, steps, template)
+    tx = optim_mod.build_optimizer(cfg.optim, stage, steps_per_epoch, template)
     opt = jax.vmap(tx.init)(state.params)
     n_model = mesh.shape["model"]
     bank0 = init_bank(cfg.model.memory_bank_size, cfg.model.latent_dim)
@@ -232,17 +246,12 @@ def fit_categories(
     'model' axis extent times an integer (categories are trained in
     groups of mesh.shape['model']).
     """
-    import math
-
     from ssad_tpu.data.synthetic import SynthSpec
 
     n_model = mesh.shape["model"]
     assert len(subjects) == len(datas)
     data_by_subject = dict(zip(subjects, datas))
     results = {}
-    steps_per_epoch = max(
-        math.ceil(cfg.data.min_dataset_length / cfg.data.batch_size), 1
-    )
 
     spec_groups, non_fixed = group_compatible_subjects(
         subjects, cfg.data.patch_localization
@@ -277,6 +286,13 @@ def fit_categories(
         while len(group_datas) < n_model:  # pad the last group
             group_datas.append(group_datas[-1])
         data = stack_category_data(group_datas, mesh)
+        # same epoch arithmetic as the single-category Trainer
+        # (duplicate-to-≥min_len then drop_last, datasets.py:447-457),
+        # on the group's common (truncated-to-min) image count
+        n_common = min(d.train_images.shape[0] for d in group_datas)
+        steps_per_epoch = _epoch_steps(
+            n_common, cfg.data.min_dataset_length, cfg.data.batch_size
+        )
         # all subjects in a group share static spec flags by construction
         spec = SynthSpec(
             subject=group[0], imsize=cfg.data.imsize,
@@ -288,13 +304,17 @@ def fit_categories(
             ("projection", cfg.optim.projection_epochs),
             ("fine_tune", cfg.optim.fine_tune_epochs),
         ):
-            init_fn, step_fn = make_multi_category_step(cfg, spec, mesh, stage=stage)
+            init_fn, step_fn = make_multi_category_step(
+                cfg, spec, mesh, stage=stage, steps_per_epoch=steps_per_epoch
+            )
             if stage == "projection":
                 state = init_fn(jax.random.key(seed))
             else:
                 # carry parameters + BN stats; fresh optimizer and bank
                 # (tools.py:273-281) — no full re-init needed
-                _, _, tx_ft, _bank0 = _fresh_opt_and_bank(cfg, mesh, state, stage)
+                _, _, tx_ft, _bank0 = _fresh_opt_and_bank(
+                    cfg, mesh, state, stage, steps_per_epoch
+                )
                 state = state._replace(opt_state=tx_ft, bank=_bank0)
             rng = jax.random.key(seed + (1 if stage == "projection" else 2))
             model_sharding = NamedSharding(mesh, P("model"))

@@ -31,7 +31,7 @@ import optax
 
 from ssad_tpu.config import TrainConfig
 from ssad_tpu.data import mvtec
-from ssad_tpu.data.synthetic import SynthSpec, make_synthesizer
+from ssad_tpu.data.synthetic import SynthSpec, batched_synthesizer
 from ssad_tpu.models.peranet import build_model
 from ssad_tpu.train import optim as optim_mod
 from ssad_tpu.train.memory_bank import MemoryBank, init_bank, insert
@@ -105,7 +105,10 @@ class Trainer:
             patch_size=cfg.data.patch_size,
             aug=cfg.aug,
         )
-        self.synth = make_synthesizer(self.spec)
+        # batched synthesis: one presampled coordinate gather per batch
+        # instead of per-sample gathers inside the vmap — the identical
+        # code path the stacked multi-category trainer compiles
+        self.synth = batched_synthesizer(self.spec)
         self._step_cache: Dict[Tuple[str, bool], Any] = {}
 
     # --- batch synthesis inside the step --------------------------------
@@ -124,16 +127,12 @@ class Trainer:
         keys = jax.random.split(k_syn, b)
         pool = jnp.asarray(self.data.cut_pool)
         n_cut = jnp.int32(self.data.cut_pool.shape[0])
-        per_image = masks.ndim == 3
+        per_image = masks.ndim == 3  # matches spec.is_non_fixed at image level
         if per_image:
             m, c, cnt = masks[idx], coords[idx], counts[idx]
-            axes = (0, 0, None, None, 0, 0, 0)
         else:
             m, c, cnt = masks, coords, counts
-            axes = (0, 0, None, None, None, None, None)
-        x, y, orig = jax.vmap(self.synth, in_axes=axes)(
-            keys, batch_imgs, pool, n_cut, m, c, cnt
-        )
+        x, y, orig = self.synth(keys, batch_imgs, pool, n_cut, m, c, cnt)
         if self.mesh is not None:
             # data-parallel: shard the synthesized batch; XLA inserts the
             # gradient all-reduce over ICI in the backward pass
@@ -184,10 +183,14 @@ class Trainer:
             acc = jnp.mean((y_hat == y).astype(jnp.float32))
             # memory-bank fill: y==0 ∧ ŷ==0 ∧ second-half-of-epochs
             # (models.py:270-275); see bank_fill_embeddings for the
-            # eval-mode/clean-originals rationale
-            mask = (y == 0) & (y_hat == 0) & fill_bank
+            # eval-mode/clean-originals rationale.  Only the first
+            # bank_fill_rows (iid) rows are embedded — the second
+            # forward is the main fill-phase cost (ModelConfig docs).
+            rows = self.cfg.model.bank_fill_rows
+            rows = orig.shape[0] if rows is None else min(rows, orig.shape[0])
+            mask = (y[:rows] == 0) & (y_hat[:rows] == 0) & fill_bank
             emb_eval = bank_fill_embeddings(
-                model, new_params, new_stats, orig, fill_bank, emb
+                model, new_params, new_stats, orig[:rows], fill_bank, emb[:rows]
             )
             bank = insert(state.bank, emb_eval, mask)
 
@@ -296,8 +299,9 @@ class Trainer:
             train_loss = float(jnp.mean(jnp.stack([m["loss"] for m in metrics_acc])))
             train_acc = float(jnp.mean(jnp.stack([m["accuracy"] for m in metrics_acc])))
 
+            cap = self.cfg.optim.val_batches
             val_metrics = []
-            for s in range(min(val_steps, 4)):
+            for s in range(val_steps if cap is None else min(val_steps, cap)):
                 rng, k = jax.random.split(rng)
                 val_metrics.append(eval_step(state.params, state.batch_stats, k, *va))
             val_loss = float(jnp.mean(jnp.stack([m["loss"] for m in val_metrics])))

@@ -193,6 +193,20 @@ class TestKnn:
         scores = np.asarray(knn.knn_cosine_scores_xla(q, bank, k=1))
         np.testing.assert_allclose(scores, 0.0, atol=1e-6)
 
+    def test_force_pallas_is_loud(self, rng, monkeypatch):
+        """SSAD_FORCE_PALLAS=1 must surface kernel failures instead of
+        silently degrading to XLA (the TPU-pallas kernel cannot lower on
+        the CPU backend, so the dispatch must raise here)."""
+        bank = jnp.asarray(rng.random((16, 8), dtype=np.float32))
+        q = jnp.asarray(rng.random((4, 8), dtype=np.float32))
+        monkeypatch.setenv("SSAD_FORCE_PALLAS", "1")
+        with pytest.raises(Exception):
+            knn.knn_cosine_scores(q, bank, k=3)
+        monkeypatch.delenv("SSAD_FORCE_PALLAS")
+        out = np.asarray(knn.knn_cosine_scores(q, bank, k=3))
+        ref = np.asarray(knn.knn_cosine_scores_xla(q, bank, k=3))
+        np.testing.assert_allclose(out, ref, atol=1e-6)
+
 
 class TestShear:
     """The two-level (coarse+fine, padded) shear must be bit-identical

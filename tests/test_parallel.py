@@ -128,3 +128,106 @@ class TestFitCategories:
         engine, bank, _ = inf.load_engine(path)
         logits, emb = engine.predict_batch(jnp.zeros((2, 64, 64, 3)))
         assert logits.shape == (2, 4) and emb.shape == (2, 512)
+
+
+@pytest.mark.slow
+class TestStackedSingleEquivalence:
+    """Stacked n_model=1 and the single-category Trainer are the same
+    math: identical params + key -> identical batch, loss and update."""
+
+    def _cfg(self):
+        return TrainConfig(
+            data=DataConfig(imsize=(64, 64), batch_size=8, min_dataset_length=16),
+            model=ModelConfig(memory_bank_size=32, compute_dtype="float32"),
+            optim=OptimConfig(),
+        )
+
+    def test_one_step_matches(self, fake_mvtec):
+        from ssad_tpu.data import mvtec
+        from ssad_tpu.parallel.category_parallel import (
+            StackedState,
+            stack_category_data,
+        )
+        from ssad_tpu.train.trainer import Trainer, _epoch_steps
+
+        cfg = self._cfg()
+        data = mvtec.prepare_pretext_data(fake_mvtec, "bottle", imsize=(64, 64))
+        trainer = Trainer(cfg, data)
+        state = trainer.init_state(jax.random.key(0), "fine_tune")
+        train_step, _, _, steps = trainer._get_step_fns("fine_tune")
+        assert steps == _epoch_steps(
+            data.train_images.shape[0], cfg.data.min_dataset_length,
+            cfg.data.batch_size,
+        )
+
+        mesh = mesh_mod.make_mesh(n_model=1)
+        _, step_fn = make_multi_category_step(
+            trainer.cfg, trainer.spec, mesh, stage="fine_tune",
+            steps_per_epoch=steps,
+        )
+        stack = lambda t: jax.tree_util.tree_map(lambda a: jnp.asarray(a)[None], t)
+        stacked = StackedState(
+            params=stack(state.params),
+            batch_stats=stack(state.batch_stats),
+            opt_state=stack(state.opt_state),
+            bank=stack(state.bank),
+            step=state.step + 0,  # copy: state.step is donated below
+        )
+        cat_data = stack_category_data([data], mesh)
+
+        k = jax.random.key(7)
+        tr = trainer._device_data("train")
+        new_single, metrics_single = train_step(state, k, *tr, jnp.asarray(False))
+        new_stacked, metrics_stacked = step_fn(
+            stacked, k[None], cat_data, jnp.asarray(False)
+        )
+
+        # identical keys → identical synthesized batch; residual diffs
+        # come from sharded BatchNorm batch-stat reduction order through
+        # the bf16 synthesis pipeline (~1e-4 relative on the loss)
+        m = np.asarray(metrics_stacked)[0]
+        np.testing.assert_allclose(m[0], float(metrics_single["loss"]), rtol=5e-3)
+        np.testing.assert_allclose(
+            np.asarray(new_stacked.params["classifier"]["kernel"])[0],
+            np.asarray(new_single.params["classifier"]["kernel"]),
+            rtol=5e-3, atol=5e-4,
+        )
+
+
+@pytest.mark.slow
+class TestSingleCategoryDataParallel:
+    """Trainer(mesh=...) shards the batch over 'data'; gradients must
+    match the unsharded run (XLA all-reduce is the identity here)."""
+
+    def test_gradients_match_unsharded(self, fake_mvtec):
+        from ssad_tpu.data import mvtec
+        from ssad_tpu.train.trainer import Trainer
+
+        cfg = TrainConfig(
+            data=DataConfig(imsize=(64, 64), batch_size=8, min_dataset_length=16),
+            model=ModelConfig(memory_bank_size=32, compute_dtype="float32"),
+            optim=OptimConfig(),
+        )
+        data = mvtec.prepare_pretext_data(fake_mvtec, "bottle", imsize=(64, 64))
+        mesh = mesh_mod.make_mesh(n_model=1)
+
+        results = {}
+        for name, m in (("plain", None), ("dp", mesh)):
+            trainer = Trainer(cfg, data, mesh=m)
+            state = trainer.init_state(jax.random.key(0), "fine_tune")
+            step, _, _, _ = trainer._get_step_fns("fine_tune")
+            tr = trainer._device_data("train")
+            new_state, metrics = step(
+                state, jax.random.key(3), *tr, jnp.asarray(False)
+            )
+            results[name] = (
+                float(metrics["loss"]),
+                np.asarray(new_state.params["classifier"]["kernel"]),
+            )
+        # sharded-BN reduction order through the bf16 synthesis pipeline
+        # bounds agreement at ~1e-4 relative; anything tighter would be
+        # asserting bit-identical reduction trees, which DP changes
+        np.testing.assert_allclose(results["plain"][0], results["dp"][0], rtol=5e-3)
+        np.testing.assert_allclose(
+            results["plain"][1], results["dp"][1], rtol=5e-3, atol=5e-4
+        )
