@@ -182,8 +182,10 @@ def bench_patch_scoring(rng, h, w, patch_dim=32, stride=8, bank_rows=1000):
     x = jnp.asarray(rng.random((bs, h, w, 3), dtype=np.float32))
 
     def run(x):
-        _, emb, _ = engine.predict_patches(x, patch_dim, stride)
-        return det.predict(emb)
+        # fused extract→embed→kNN→blur→upsample, one program
+        return engine.score_patch_maps(
+            x, det.bank, dim=patch_dim, stride=stride, k=3, upsample_to=h
+        )
 
     dt = _timeit(run, 20, x)
     return dt * 1e3 / bs

@@ -38,7 +38,6 @@ from ssad_tpu.evaluation import metrics as M
 from ssad_tpu.evaluation import inference as inf
 from ssad_tpu.models.detector import AnomalyDetector
 from ssad_tpu.ops import image as im
-from ssad_tpu.ops import patches as patches_mod
 
 
 # --- library-level metric dispatch (reference tools.Evaluator) --------------
@@ -289,17 +288,17 @@ def evaluate_category(
         )
         detector = AnomalyDetector(k=cfg.knn_k).fit(normality, jax.random.key(cfg.seed))
 
-        side = patches_mod.grid_side(h, cfg.patch_dim, cfg.stride)
         maps_list = []
         n = test_data.images.shape[0]
         bs = max(1, min(8, cfg.batch_size))
         for lo in range(0, n, bs):
             raw = jnp.asarray(test_data.images[lo : lo + bs])
             x = jax.vmap(im.normalize_imagenet)(raw)
-            _, emb, ppi = engine.predict_patches(x, cfg.patch_dim, cfg.stride)
-            scores = detector.predict(emb)  # (b·P,)
-            smaps = scores.reshape(raw.shape[0], side, side)
-            smaps = im.upsample_anomaly_maps(smaps, cfg.upsample_size)
+            # fused extract→embed→kNN→blur→upsample, one program
+            smaps = engine.score_patch_maps(
+                x, detector.bank, dim=cfg.patch_dim, stride=cfg.stride,
+                k=cfg.knn_k, upsample_to=cfg.upsample_size,
+            )
             maps_list.append(np.asarray(smaps))
         anomaly_maps = np.concatenate(maps_list, axis=0)
         gts = np.asarray(test_data.ground_truths)

@@ -52,6 +52,28 @@ class InferenceEngine:
             out = self.model.apply(variables, x, train=False)
             return out["classifier"], out["latent_space"]
 
+        @functools.partial(jax.jit, static_argnames=("dim", "stride", "k", "upsample_to"))
+        def score_patches(x, bank, dim, stride, k, upsample_to):
+            # ONE program: extract → embed → k-NN → map (+ optional
+            # blur/upsample).  Fusing avoids a dispatch round-trip per
+            # stage, and the row-major inverse permutation lands on the
+            # scalar scores (B, P) instead of the (B·P, 512) embeddings
+            # — the gather is 512× cheaper.
+            from ssad_tpu.ops.knn import knn_cosine_scores
+
+            p, inv = patches_mod.extract_patches_shuffled(
+                x.astype(jnp.bfloat16), dim=dim, stride=stride
+            )
+            b, n = p.shape[0], p.shape[1]
+            flat = p.reshape((b * n,) + p.shape[2:])
+            out = self.model.apply(variables, flat, train=False)
+            scores = knn_cosine_scores(out["latent_space"], bank, k=k)
+            side = int(round(n ** 0.5))
+            maps = scores.reshape(b, n)[:, inv].reshape(b, side, side)
+            if upsample_to is not None:
+                maps = im.upsample_anomaly_maps(maps, upsample_to)
+            return maps
+
         @functools.partial(jax.jit, static_argnames=("dim", "stride"))
         def forward_patches(x, dim, stride):
             # (B, H, W, 3) → (B·P, d, d, 3) → embeddings (B·P, 512),
@@ -72,12 +94,28 @@ class InferenceEngine:
 
         self._forward = forward
         self._forward_patches = forward_patches
+        self._score_patches = score_patches
 
     def predict_batch(self, x_normalized) -> Tuple[jax.Array, jax.Array]:
         return self._forward(jnp.asarray(x_normalized))
 
     def predict_patches(self, x_normalized, dim: int = 32, stride: int = 8):
         return self._forward_patches(jnp.asarray(x_normalized), dim, stride)
+
+    def score_patch_maps(
+        self,
+        x_normalized,
+        bank,
+        dim: int = 32,
+        stride: int = 8,
+        k: int = 3,
+        upsample_to: Optional[int] = None,
+    ) -> jax.Array:
+        """(B, side, side) k-NN anomaly maps — or (B, upsample_to,
+        upsample_to) blurred+upsampled maps — in one fused program."""
+        return self._score_patches(
+            jnp.asarray(x_normalized), jnp.asarray(bank), dim, stride, k, upsample_to
+        )
 
 
 def predict_mvtec(

@@ -28,7 +28,6 @@ from ssad_tpu.evaluation import inference as inf
 from ssad_tpu.models.detector import AnomalyDetector
 from ssad_tpu.models.gradcam import gradcam_or_zero
 from ssad_tpu.ops import image as im
-from ssad_tpu.ops import patches as patches_mod
 from ssad_tpu.utils import convert
 
 
@@ -59,10 +58,10 @@ class Localizer:
         x = im.normalize_imagenet(jnp.asarray(image_raw))[None]
         if self.cfg.patch_localization:
             assert self.detector is not None, "call setup() first"
-            _, emb, _ = self.engine.predict_patches(x, self.cfg.patch_dim, self.cfg.stride)
-            scores = self.detector.predict(emb)
-            side = patches_mod.grid_side(h, self.cfg.patch_dim, self.cfg.stride)
-            smap = scores.reshape(1, side, side)
+            smap = self.engine.score_patch_maps(
+                x, self.detector.bank, dim=self.cfg.patch_dim,
+                stride=self.cfg.stride, k=self.cfg.knn_k,
+            )
             smap = im.gaussian_blur(smap[..., None], ksize=3)[..., 0]  # localizer.py:151
             smap = jax.vmap(lambda m: im.resize_bilinear(m, (h, w)))(smap)
             return np.clip(np.asarray(smap[0]), 0.0, 1.0)

@@ -340,3 +340,40 @@ class TestMahalanobisDetector:
         d.fit(jnp.asarray(normal))
         maps = d.predict(jnp.asarray(rng.normal(0, 1, (18, 8)).astype(np.float32)))
         assert maps.shape == (2, 1, 3, 3)
+
+
+class TestFusedPatchScorer:
+    """score_patch_maps (one fused program) must match the separate
+    predict_patches → detector.predict → reshape/upsample pipeline."""
+
+    def test_matches_unfused_pipeline(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from ssad_tpu.config import ModelConfig
+        from ssad_tpu.evaluation.inference import InferenceEngine
+        from ssad_tpu.models import detector as det
+        from ssad_tpu.models.peranet import build_model, init_model
+        from ssad_tpu.ops import image as im
+        from ssad_tpu.ops import patches as patches_mod
+
+        model = build_model(ModelConfig(compute_dtype="float32"))
+        params, stats = init_model(model, jax.random.key(0), (1, 64, 64, 3))
+        engine = InferenceEngine(model, params, stats)
+        bank = jnp.asarray(rng.random((64, 512), dtype=np.float32))
+        d = det.AnomalyDetector(k=3).fit(bank, jax.random.key(0))
+
+        x = jnp.asarray(rng.random((2, 64, 64, 3), dtype=np.float32))
+        dim, stride = 32, 16
+        side = patches_mod.grid_side(64, dim, stride)
+
+        _, emb, _ = engine.predict_patches(x, dim, stride)
+        ref = np.asarray(d.predict(emb)).reshape(2, side, side)
+        fused = np.asarray(engine.score_patch_maps(x, d.bank, dim=dim, stride=stride, k=3))
+        np.testing.assert_allclose(fused, ref, rtol=1e-5, atol=1e-6)
+
+        ref_up = np.asarray(im.upsample_anomaly_maps(jnp.asarray(ref), 64))
+        fused_up = np.asarray(
+            engine.score_patch_maps(x, d.bank, dim=dim, stride=stride, k=3, upsample_to=64)
+        )
+        np.testing.assert_allclose(fused_up, ref_up, rtol=1e-5, atol=1e-6)
