@@ -45,15 +45,19 @@ class InferenceEngine:
     batch_stats: Any
 
     def __post_init__(self):
-        variables = {"params": self.params, "batch_stats": self.batch_stats}
+        # variables travel as jit ARGUMENTS, not closure constants:
+        # closed-over arrays get baked into the HLO as literals, which
+        # bloats the program past the remote-compile upload limit for
+        # large backbones (wide_resnet50_2's ~270 MB of f32 weights)
+        model = self.model
 
         @jax.jit
-        def forward(x):
-            out = self.model.apply(variables, x, train=False)
+        def forward(variables, x):
+            out = model.apply(variables, x, train=False)
             return out["classifier"], out["latent_space"]
 
         @functools.partial(jax.jit, static_argnames=("dim", "stride", "k", "upsample_to"))
-        def score_patches(x, bank, dim, stride, k, upsample_to):
+        def score_patches(variables, x, bank, dim, stride, k, upsample_to):
             # ONE program: extract → embed → k-NN → map (+ optional
             # blur/upsample).  Fusing avoids a dispatch round-trip per
             # stage, and the row-major inverse permutation lands on the
@@ -66,7 +70,7 @@ class InferenceEngine:
             )
             b, n = p.shape[0], p.shape[1]
             flat = p.reshape((b * n,) + p.shape[2:])
-            out = self.model.apply(variables, flat, train=False)
+            out = model.apply(variables, flat, train=False)
             scores = knn_cosine_scores(out["latent_space"], bank, k=k)
             side = int(round(n ** 0.5))
             maps = scores.reshape(b, n)[:, inv].reshape(b, side, side)
@@ -75,7 +79,7 @@ class InferenceEngine:
             return maps
 
         @functools.partial(jax.jit, static_argnames=("dim", "stride"))
-        def forward_patches(x, dim, stride):
+        def forward_patches(variables, x, dim, stride):
             # (B, H, W, 3) → (B·P, d, d, 3) → embeddings (B·P, 512),
             # row-major patch order.  The gather-free tiled extraction
             # produces patches in tiling order; outputs are permuted
@@ -87,20 +91,21 @@ class InferenceEngine:
             )
             b, n = p.shape[0], p.shape[1]
             flat = p.reshape((b * n,) + p.shape[2:])
-            logits, emb = forward(flat)
+            logits, emb = forward(variables, flat)
             logits = logits.reshape(b, n, -1)[:, inv].reshape(b * n, -1)
             emb = emb.reshape(b, n, -1)[:, inv].reshape(b * n, -1)
             return logits, emb, n
 
+        self._variables = {"params": self.params, "batch_stats": self.batch_stats}
         self._forward = forward
         self._forward_patches = forward_patches
         self._score_patches = score_patches
 
     def predict_batch(self, x_normalized) -> Tuple[jax.Array, jax.Array]:
-        return self._forward(jnp.asarray(x_normalized))
+        return self._forward(self._variables, jnp.asarray(x_normalized))
 
     def predict_patches(self, x_normalized, dim: int = 32, stride: int = 8):
-        return self._forward_patches(jnp.asarray(x_normalized), dim, stride)
+        return self._forward_patches(self._variables, jnp.asarray(x_normalized), dim, stride)
 
     def score_patch_maps(
         self,
@@ -114,7 +119,8 @@ class InferenceEngine:
         """(B, side, side) k-NN anomaly maps — or (B, upsample_to,
         upsample_to) blurred+upsampled maps — in one fused program."""
         return self._score_patches(
-            jnp.asarray(x_normalized), jnp.asarray(bank), dim, stride, k, upsample_to
+            self._variables, jnp.asarray(x_normalized), jnp.asarray(bank),
+            dim, stride, k, upsample_to,
         )
 
 

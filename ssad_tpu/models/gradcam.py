@@ -76,3 +76,20 @@ def gradcam_or_zero(model, params, batch_stats, x, predicted_classes) -> jax.Arr
     maps = compute_gradcam(model, params, batch_stats, x)
     good = jnp.asarray(predicted_classes) == 0
     return jnp.where(good[:, None, None], jnp.zeros_like(maps), maps)
+
+
+def make_gradcam_fn(model, params, batch_stats):
+    """Jitted (x, predicted_classes) → maps closure.
+
+    Callers that loop over images must use this instead of calling
+    gradcam_or_zero eagerly: on the tunneled TPU backend every eager op
+    is a host round-trip, which makes the unjitted path ~100× slower.
+    Params ride as jit arguments (closure constants would embed the
+    weights in the HLO and overflow the remote-compile upload limit for
+    wide backbones).
+    """
+    @jax.jit
+    def fn(p, bs, x, predicted):
+        return gradcam_or_zero(model, p, bs, x, predicted)
+
+    return lambda x, predicted: fn(params, batch_stats, x, predicted)
