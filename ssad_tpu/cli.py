@@ -135,7 +135,7 @@ def cmd_train_multi(args) -> int:
         for s in subjects
     ]
     results = fit_categories(cfg, subjects, datas, mesh, seed=args.seed,
-                             verbose=not args.quiet)
+                             verbose=not args.quiet, stack_size=args.stack)
     for subject, (params, stats, bank) in results.items():
         path = ckpt.save_checkpoint(
             Path(args.outputs_dir) / subject, params, stats, bank, cfg
@@ -321,6 +321,10 @@ def build_parser() -> argparse.ArgumentParser:
     tm.add_argument("--subjects", default="all")
     tm.add_argument("--model-shards", type=int, default=None,
                     help="mesh 'model' axis size (default: min(#subjects, #devices))")
+    tm.add_argument("--stack", type=int, default=None,
+                    help="categories trained simultaneously per chunk (a "
+                         "multiple of --model-shards; several categories can "
+                         "stack on one chip)")
     tm.add_argument("--projection-epochs", type=int, default=10)
     tm.add_argument("--projection-lr", type=float, default=0.03)
     tm.add_argument("--fine-tune-epochs", type=int, default=30)

@@ -59,6 +59,7 @@ def make_multi_category_step(
     mesh: Mesh,
     stage: str = "fine_tune",
     steps_per_epoch: int | None = None,
+    stack_size: int | None = None,
 ):
     """Build (init_fn, step_fn) for the stacked trainer.
 
@@ -70,6 +71,11 @@ def make_multi_category_step(
     from ``_epoch_steps`` on the group's common image count so stacked
     and single-category runs of the same config train identical step
     counts (default approximates it from min_dataset_length alone).
+
+    stack_size: number of categories C in the stack (a multiple of the
+    mesh 'model' extent — each model shard carries C/n_model categories,
+    so several categories can train simultaneously even on one chip).
+    Defaults to the 'model' extent.
     """
     model = build_model(cfg.model)
     # per-category template for the optimizer's label tree — the same
@@ -90,7 +96,7 @@ def make_multi_category_step(
     batch_spec = P("model", "data")
 
     def init_fn(rng) -> StackedState:
-        n_cat = mesh.shape["model"]  # stack size = 'model' axis extent
+        n_cat = stack_size or mesh.shape["model"]
 
         def one(key):
             params, stats = init_model(model, key, (1, 64, 64, 3))
@@ -190,10 +196,10 @@ def _fresh_opt_and_bank(
     template, _ = _init(model, jax.random.key(0), (1, 64, 64, 3))
     tx = optim_mod.build_optimizer(cfg.optim, stage, steps_per_epoch, template)
     opt = jax.vmap(tx.init)(state.params)
-    n_model = mesh.shape["model"]
+    n_cat = jax.tree_util.tree_leaves(state.params)[0].shape[0]
     bank0 = init_bank(cfg.model.memory_bank_size, cfg.model.latent_dim)
     bank = jax.tree_util.tree_map(
-        lambda a: jnp.broadcast_to(a, (n_model,) + a.shape), bank0
+        lambda a: jnp.broadcast_to(a, (n_cat,) + a.shape), bank0
     )
     model_sharding = NamedSharding(mesh, P("model"))
     opt = jax.device_put(opt, jax.tree_util.tree_map(lambda _: model_sharding, opt))
@@ -237,18 +243,23 @@ def fit_categories(
     mesh: Mesh,
     seed: int = 0,
     verbose: bool = True,
+    stack_size: int | None = None,
 ):
     """Train all `subjects` simultaneously as one stacked SPMD program,
     with the reference's two-phase schedule applied to every category.
 
     Returns {subject: (params, batch_stats, bank)} — unstacked, ready
-    for per-category checkpoints.  The stack size must equal the mesh's
-    'model' axis extent times an integer (categories are trained in
-    groups of mesh.shape['model']).
+    for per-category checkpoints.  Categories are trained in chunks of
+    `stack_size` (default: the mesh's 'model' extent); each model shard
+    carries stack_size/n_model categories, so several categories train
+    simultaneously even on a single chip.
     """
     from ssad_tpu.data.synthetic import SynthSpec
 
     n_model = mesh.shape["model"]
+    stack = stack_size or n_model
+    if stack % n_model:
+        raise ValueError(f"stack_size={stack} not a multiple of model={n_model}")
     assert len(subjects) == len(datas)
     data_by_subject = dict(zip(subjects, datas))
     results = {}
@@ -277,13 +288,13 @@ def fit_categories(
             )
 
     flat_groups = [
-        g[lo : lo + n_model]
+        g[lo : lo + stack]
         for g in spec_groups
-        for lo in range(0, len(g), n_model)
+        for lo in range(0, len(g), stack)
     ]
     for group in flat_groups:
         group_datas = [data_by_subject[s] for s in group]
-        while len(group_datas) < n_model:  # pad the last group
+        while len(group_datas) < stack:  # pad the last group
             group_datas.append(group_datas[-1])
         data = stack_category_data(group_datas, mesh)
         # same epoch arithmetic as the single-category Trainer
@@ -305,7 +316,8 @@ def fit_categories(
             ("fine_tune", cfg.optim.fine_tune_epochs),
         ):
             init_fn, step_fn = make_multi_category_step(
-                cfg, spec, mesh, stage=stage, steps_per_epoch=steps_per_epoch
+                cfg, spec, mesh, stage=stage, steps_per_epoch=steps_per_epoch,
+                stack_size=stack,
             )
             if stage == "projection":
                 state = init_fn(jax.random.key(seed))
@@ -316,21 +328,27 @@ def fit_categories(
                     cfg, mesh, state, stage, steps_per_epoch
                 )
                 state = state._replace(opt_state=tx_ft, bank=_bank0)
+            import time as _time
+
             rng = jax.random.key(seed + (1 if stage == "projection" else 2))
             model_sharding = NamedSharding(mesh, P("model"))
             for epoch in range(epochs):
                 fill = jnp.asarray(epoch > epochs // 2)
+                t_epoch = _time.perf_counter()
                 for _ in range(steps_per_epoch):
                     rng, k = jax.random.split(rng)
                     keys = jax.device_put(
-                        jax.random.split(k, n_model), model_sharding
+                        jax.random.split(k, stack), model_sharding
                     )
                     state, metrics = step_fn(state, keys, data, fill)
+                m = np.asarray(metrics)  # forces sync
+                dt = _time.perf_counter() - t_epoch
+                ips = stack * steps_per_epoch * cfg.data.batch_size / max(dt, 1e-9)
                 if verbose:
-                    m = np.asarray(metrics)
                     print(
                         f"[{'+'.join(group)}/{stage}] epoch {epoch + 1}/{epochs} "
-                        f"loss {np.round(m[:, 0], 3).tolist()}"
+                        f"loss {np.round(m[:, 0], 3).tolist()} "
+                        f"({ips:,.0f} img/s across {stack} categories)"
                     )
 
         # unstack per category

@@ -231,3 +231,54 @@ class TestSingleCategoryDataParallel:
         np.testing.assert_allclose(
             results["plain"][1], results["dp"][1], rtol=5e-3, atol=5e-4
         )
+
+
+@pytest.mark.slow
+class TestStackLargerThanMesh:
+    """stack_size can exceed the mesh 'model' extent: each model shard
+    carries several categories (needed to stack categories on 1 chip)."""
+
+    def test_step_with_stack_4_on_model_2(self):
+        mesh = mesh_mod.make_mesh(n_model=2)
+        h = w = 64
+        stack = 4
+        cfg = TrainConfig(
+            data=DataConfig(imsize=(h, w), batch_size=8),
+            model=ModelConfig(memory_bank_size=32, compute_dtype="float32"),
+            optim=OptimConfig(),
+        )
+        spec = SynthSpec(subject="bottle", imsize=(h, w))
+        init_fn, step_fn = make_multi_category_step(
+            cfg, spec, mesh, stage="projection", stack_size=stack
+        )
+        rng = np.random.default_rng(0)
+        mask = np.zeros((h, w), np.float32)
+        mask[8:-8, 8:-8] = 1.0
+        coords, count = pack_coords(mask.astype(np.uint8))
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ms = NamedSharding(mesh, P("model"))
+        repl = NamedSharding(mesh, P())
+        data = CategoryData(
+            images=jax.device_put(
+                jnp.asarray(rng.random((stack, 4, h, w, 3), np.float32)), ms
+            ),
+            cut_pool=jax.device_put(
+                jnp.asarray(rng.random((2, h, w, 3), np.float32)), repl
+            ),
+            masks=jax.device_put(
+                jnp.broadcast_to(jnp.asarray(mask), (stack, h, w)), ms
+            ),
+            coords=jax.device_put(
+                jnp.broadcast_to(jnp.asarray(coords), (stack,) + coords.shape), ms
+            ),
+            counts=jax.device_put(jnp.full((stack,), count, jnp.int32), ms),
+        )
+        state = init_fn(jax.random.key(0))
+        assert jax.tree_util.tree_leaves(state.params)[0].shape[0] == stack
+        keys = jax.device_put(jax.random.split(jax.random.key(1), stack), ms)
+        state2, metrics = step_fn(state, keys, data, jnp.asarray(False))
+        m = np.asarray(metrics)
+        assert m.shape == (stack, 2) and np.isfinite(m).all()
+        # all four categories evolve independently
+        assert len(set(np.round(m[:, 0], 6))) > 1
