@@ -249,6 +249,7 @@ def cmd_parity(args) -> int:
         projection_epochs=args.projection_epochs,
         fine_tune_epochs=args.fine_tune_epochs,
         pretrained_backbone=args.pretrained_backbone,
+        backbone=args.backbone,
         patch_dim=args.patch_dim,
         stride=args.stride,
         modes=[m.strip() for m in args.modes.split(",") if m.strip()],
@@ -367,6 +368,8 @@ def build_parser() -> argparse.ArgumentParser:
     pa.add_argument("--projection-epochs", type=int, default=5)
     pa.add_argument("--fine-tune-epochs", type=int, default=15)
     pa.add_argument("--pretrained-backbone", default=None)
+    pa.add_argument("--backbone", default="resnet18",
+                    choices=["resnet18", "wide_resnet50_2"])
     pa.add_argument("--patch-dim", type=int, default=32)
     pa.add_argument("--stride", type=int, default=8)
     pa.add_argument("--modes", default="image,patch")

@@ -177,16 +177,17 @@ def _render_eval_gradcams(
     defective (reference evaluator.py:271-284 renders a saliency map for
     every y_hat>0 image during image-level evaluation)."""
     from ssad_tpu.evaluation import visualization as vis
-    from ssad_tpu.models.gradcam import gradcam_or_zero
+    from ssad_tpu.models.gradcam import make_gradcam_fn
 
     y_hat = np.asarray(outputs.y_hat)
     picks = np.where(y_hat > 0)[0][:max_images]
+    if not len(picks):
+        return []
+    gradcam = make_gradcam_fn(engine.model, engine.params, engine.batch_stats)
     paths = []
     for i in picks:
         x = jnp.asarray(outputs.tensor_data[i])[None]
-        maps = gradcam_or_zero(
-            engine.model, engine.params, engine.batch_stats, x, y_hat[i : i + 1]
-        )
+        maps = gradcam(x, y_hat[i : i + 1])
         raw = np.asarray(outputs.original_data[i])
         overlay = vis.heatmap_overlay(raw, np.asarray(maps[0]))
         paths.append(
@@ -294,13 +295,15 @@ def evaluate_category(
         for lo in range(0, n, bs):
             raw = jnp.asarray(test_data.images[lo : lo + bs])
             x = jax.vmap(im.normalize_imagenet)(raw)
-            # fused extract→embed→kNN→blur→upsample, one program
-            smaps = engine.score_patch_maps(
-                x, detector.bank, dim=cfg.patch_dim, stride=cfg.stride,
-                k=cfg.knn_k, upsample_to=cfg.upsample_size,
+            # fused extract→embed→kNN→blur→upsample, one program; keep
+            # results on device so batches pipeline through the queue
+            maps_list.append(
+                engine.score_patch_maps(
+                    x, detector.bank, dim=cfg.patch_dim, stride=cfg.stride,
+                    k=cfg.knn_k, upsample_to=cfg.upsample_size,
+                )
             )
-            maps_list.append(np.asarray(smaps))
-        anomaly_maps = np.concatenate(maps_list, axis=0)
+        anomaly_maps = np.concatenate([np.asarray(m) for m in maps_list], axis=0)
         gts = np.asarray(test_data.ground_truths)
 
         labels_flat = gts.ravel()

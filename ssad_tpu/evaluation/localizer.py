@@ -26,7 +26,6 @@ from ssad_tpu.config import EvalConfig
 from ssad_tpu.data import mvtec
 from ssad_tpu.evaluation import inference as inf
 from ssad_tpu.models.detector import AnomalyDetector
-from ssad_tpu.models.gradcam import gradcam_or_zero
 from ssad_tpu.ops import image as im
 from ssad_tpu.utils import convert
 
@@ -36,6 +35,7 @@ class Localizer:
     engine: inf.InferenceEngine
     cfg: EvalConfig
     detector: Optional[AnomalyDetector] = None
+    _gradcam: Optional[object] = None  # lazily-built jitted Grad-CAM fn
 
     def setup(self, data: mvtec.PretextData, n_train_images: int = 3, seed: int = 0):
         """Fit the patch-mode detector on a few train images' patch
@@ -67,9 +67,13 @@ class Localizer:
             return np.clip(np.asarray(smap[0]), 0.0, 1.0)
         logits, _ = self.engine.predict_batch(x)
         y_hat = convert.prediction_class(logits)
-        maps = gradcam_or_zero(
-            self.engine.model, self.engine.params, self.engine.batch_stats, x, y_hat
-        )
+        if self._gradcam is None:
+            from ssad_tpu.models.gradcam import make_gradcam_fn
+
+            self._gradcam = make_gradcam_fn(
+                self.engine.model, self.engine.params, self.engine.batch_stats
+            )
+        maps = self._gradcam(x, y_hat)
         return np.asarray(maps[0])
 
     def localize(

@@ -193,6 +193,7 @@ def run_parity(
     projection_epochs: int = 5,
     fine_tune_epochs: int = 15,
     pretrained_backbone: Optional[str] = None,
+    backbone: str = "resnet18",
     patch_dim: int = 32,
     stride: int = 8,
     modes: Sequence[str] = ("image", "patch"),
@@ -223,7 +224,8 @@ def run_parity(
                 dataset_dir=str(dataset_dir), imsize=(imsize, imsize),
                 batch_size=batch_size, seed=seed, patch_localization=patch,
             ),
-            model=ModelConfig(pretrained_backbone=pretrained_backbone),
+            model=ModelConfig(backbone=backbone,
+                              pretrained_backbone=pretrained_backbone),
             optim=OptimConfig(
                 projection_epochs=projection_epochs,
                 fine_tune_epochs=fine_tune_epochs,
