@@ -71,7 +71,13 @@ class PeraNet(nn.Module):
         """(pooled (B, 512), {'layer1'..'layer4': NHWC feature maps}).
 
         Inputs below 64px are nearest-upsampled first (models.py:218-219).
+        32×32 inputs (the sliding-window patch size) take the folded-stem
+        path instead: the ×2 nearest upsample is algebraically folded
+        into the stem conv (see resnet.StemConv) — same output, 3× fewer
+        stem MACs, no 4× activation materialization.
         """
+        if x.shape[1] == 32 and x.shape[2] == 32:
+            return self.backbone(x, train=train, stem_fold_2x=True)
         if x.shape[1] < 64 or x.shape[2] < 64:
             x = jax.vmap(lambda i: resize_nearest(i, (64, 64)))(x)
         return self.backbone(x, train=train)

@@ -22,6 +22,56 @@ import jax.numpy as jnp
 ModuleDef = Any
 
 
+class StemConv(nn.Module):
+    """The 7×7/stride-2 stem conv, with an exact folded variant for
+    nearest-×2-upsampled inputs.
+
+    The reference nearest-upsamples sub-64px inputs to 64 before the
+    backbone (models.py:218-219); for 32×32 patches that makes conv1 run
+    a 7×7/s2 kernel over a 4×-materialized image.  Because nearest ×2
+    followed by stride-2 convolution reads each source pixel through a
+    fixed tap pattern, the same output is one 4×4/stride-1 conv on the
+    ORIGINAL 32×32 input with pairwise-summed weights
+    (w' = [w0, w1+w2, w3+w4, w5+w6] per spatial axis) and asymmetric
+    (2,1) padding — 3× fewer stem MACs and no 4× activation
+    materialization.  Exact in real arithmetic; equivalence is tested to
+    f32 tolerance (tests/test_models.py::TestFoldedStem).
+
+    Param path is ``conv1/kernel`` — identical to the nn.Conv it
+    replaces, so checkpoints and the torchvision converter are
+    unaffected.
+    """
+
+    features: int = 64
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, fold_2x: bool = False):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (7, 7, 3, self.features),
+            jnp.float32,
+        )
+        if fold_2x:
+            def fold_rows(w):
+                return jnp.stack(
+                    [w[0], w[1] + w[2], w[3] + w[4], w[5] + w[6]], axis=0
+                )
+
+            k = fold_rows(kernel)
+            k = jnp.stack(
+                [k[:, 0], k[:, 1] + k[:, 2], k[:, 3] + k[:, 4], k[:, 5] + k[:, 6]],
+                axis=1,
+            )
+            strides, padding = (1, 1), [(2, 1), (2, 1)]
+        else:
+            k = kernel
+            strides, padding = (2, 2), [(3, 3), (3, 3)]
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype), k.astype(self.dtype), strides, padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+
 class BasicBlock(nn.Module):
     """Two 3×3 convs + identity/projection shortcut (ResNet v1 basic)."""
 
@@ -119,12 +169,13 @@ class ResNet(nn.Module):
     width_factor: int = 1
 
     @nn.compact
-    def __call__(self, x, train: bool = True) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    def __call__(
+        self, x, train: bool = True, stem_fold_2x: bool = False
+    ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
         x = x.astype(self.dtype)
-        x = nn.Conv(
-            64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-            use_bias=False, dtype=self.dtype, name="conv1",
-        )(x)
+        x = StemConv(features=64, dtype=self.dtype, name="conv1")(
+            x, fold_2x=stem_fold_2x
+        )
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, name="bn1",

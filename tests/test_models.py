@@ -377,3 +377,46 @@ class TestFusedPatchScorer:
             engine.score_patch_maps(x, d.bank, dim=dim, stride=stride, k=3, upsample_to=64)
         )
         np.testing.assert_allclose(fused_up, ref_up, rtol=1e-5, atol=1e-6)
+
+
+class TestFoldedStem:
+    """32x32 inputs take the folded-stem path; it must equal the
+    nearest-x2-upsample + 7x7/s2 stem exactly (f32 tolerance)."""
+
+    def test_fold_matches_upsample(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from ssad_tpu.config import ModelConfig
+        from ssad_tpu.models.peranet import build_model, init_model
+        from ssad_tpu.ops.image import resize_nearest
+
+        model = build_model(ModelConfig(compute_dtype="float32"))
+        params, stats = init_model(model, jax.random.key(0), (1, 64, 64, 3))
+        variables = {"params": params, "batch_stats": stats}
+
+        x32 = jnp.asarray(rng.random((3, 32, 32, 3), dtype=np.float32))
+        x64 = jax.vmap(lambda i: resize_nearest(i, (64, 64)))(x32)
+
+        out_folded = model.apply(variables, x32, train=False)
+        out_plain = model.apply(variables, x64, train=False)
+        np.testing.assert_allclose(
+            np.asarray(out_folded["latent_space"]),
+            np.asarray(out_plain["latent_space"]),
+            rtol=1e-4, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_folded["classifier"]),
+            np.asarray(out_plain["classifier"]),
+            rtol=1e-4, atol=1e-5,
+        )
+
+    def test_param_tree_unchanged(self):
+        import jax
+
+        from ssad_tpu.config import ModelConfig
+        from ssad_tpu.models.peranet import build_model, init_model
+
+        model = build_model(ModelConfig())
+        params, _ = init_model(model, jax.random.key(0), (1, 64, 64, 3))
+        assert params["backbone"]["conv1"]["kernel"].shape == (7, 7, 3, 64)
