@@ -6,9 +6,13 @@ exposes the full workflow:
 
     python -m ssad_tpu.cli train     --dataset-dir D --subject bottle --outputs-dir O
     python -m ssad_tpu.cli evaluate  --dataset-dir D --models-dir O --subjects bottle,carpet
+    python -m ssad_tpu.cli infer     --dataset-dir D --models-dir O --subject bottle
     python -m ssad_tpu.cli localize  --dataset-dir D --models-dir O --subject bottle
     python -m ssad_tpu.cli qa        --dataset-dir D --subject bottle --outputs-dir O
     python -m ssad_tpu.cli sweep     --dataset-dir D --outputs-dir O   (train all categories)
+    python -m ssad_tpu.cli train-multi --dataset-dir D --subjects all --stack 4
+    python -m ssad_tpu.cli profile   --dataset-dir D --subject bottle --profile-dir T
+    python -m ssad_tpu.cli parity    --outputs-dir O   (end-to-end accuracy run)
 """
 
 from __future__ import annotations
@@ -230,6 +234,116 @@ def cmd_qa(args) -> int:
     return 0
 
 
+def cmd_infer(args) -> int:
+    """Reference tools.inference (tools.py:310-390): load a trained
+    checkpoint, forward the MVTec test set (or synthetic pretext data),
+    fit the detector on normality and attach anomaly scores; writes an
+    .npz with scores/labels/threshold and prints a one-line summary."""
+    import json as _json
+
+    import jax
+    import numpy as np
+
+    from ssad_tpu.data import mvtec
+    from ssad_tpu.data.synthetic import SynthSpec
+    from ssad_tpu.evaluation import inference as inf
+
+    engine, bank, tcfg = inf.load_engine(
+        str(Path(args.models_dir) / args.subject / "best_model")
+    )
+    imsize = (args.imsize, args.imsize)
+    data = mvtec.prepare_pretext_data(args.dataset_dir, args.subject, imsize=imsize)
+    patch = args.patch_level
+    if args.artificial:
+        spec = SynthSpec(subject=args.subject, imsize=imsize)
+        outputs = inf.predict_artificial(
+            engine, data, spec, num_samples=args.num_samples,
+            batch_size=args.batch_size, seed=args.seed,
+        )
+    else:
+        test = mvtec.prepare_mvtec_test_data(args.dataset_dir, args.subject, imsize=imsize)
+        outputs = inf.predict_mvtec(
+            engine, test, batch_size=args.batch_size if not patch else 8,
+            patch_localization=patch, patch_dim=args.patch_dim, stride=args.stride,
+        )
+    normality = inf.normality_embeddings(
+        engine, None if patch else bank, data,
+        patch_localization=patch, patch_dim=args.patch_dim, stride=args.stride,
+        max_images=3 if patch else None, seed=args.seed,
+    )
+    n_img = None
+    ppi = None
+    if patch:
+        from ssad_tpu.ops import patches as patches_mod
+
+        side = patches_mod.grid_side(args.imsize, args.patch_dim, args.stride)
+        ppi = side * side
+        n_img = outputs.embeddings.shape[0] // ppi
+    outputs, detector = inf.attach_anomaly_scores(
+        outputs, normality, patch_localization=patch, num_images=n_img,
+        patches_per_image=ppi, k=3, seed=args.seed,
+    )
+    maps = outputs.anomaly_maps
+    if patch:
+        maps = inf.upsample(maps[:, 0], args.imsize)
+    out = Path(args.outputs_dir) / args.subject
+    out.mkdir(parents=True, exist_ok=True)
+    path = out / ("inference_artificial.npz" if args.artificial else "inference.npz")
+    np.savez_compressed(
+        path,
+        anomaly=np.asarray(maps),
+        y_true=np.asarray(outputs.y_true_binary),
+        y_hat=np.asarray(outputs.y_hat),
+        threshold=detector.threshold,
+    )
+    print(_json.dumps({
+        "subject": args.subject,
+        "mode": "patch" if patch else "image",
+        "n": int(np.asarray(outputs.y_hat).shape[0]),
+        "threshold": float(detector.threshold),
+        "outputs": str(path),
+    }))
+    return 0
+
+
+def cmd_profile(args) -> int:
+    """Capture a jax.profiler device trace of the fused train step
+    (view with TensorBoard/xprof; SURVEY §5.1 — absent in the ref)."""
+    import json as _json
+
+    import jax
+    import jax.numpy as jnp
+
+    from ssad_tpu.data import mvtec
+    from ssad_tpu.train.trainer import Trainer
+    from ssad_tpu.utils import profiling
+
+    cfg = _train_cfg(args)
+    data = mvtec.prepare_pretext_data(
+        cfg.data.dataset_dir, cfg.data.subject, imsize=cfg.data.imsize,
+        patch_localization=cfg.data.patch_localization,
+    )
+    trainer = Trainer(cfg, data)
+    state = trainer.init_state(jax.random.key(cfg.seed), "fine_tune")
+    step, _, _, _ = trainer._get_step_fns("fine_tune")
+    tr = trainer._device_data("train")
+    fill = jnp.asarray(True)
+    state, m = step(state, jax.random.key(1), *tr, fill)  # compile
+    jax.block_until_ready(m["loss"])
+    timer = profiling.StepTimer(items_per_step=cfg.data.batch_size)
+    with profiling.trace(args.profile_dir):
+        for i in range(args.steps):
+            timer.start()
+            state, m = step(state, jax.random.key(i + 2), *tr, fill)
+            timer.stop(sync=m["loss"])
+    print(_json.dumps({
+        "trace_dir": args.profile_dir,
+        **timer.summary(),
+        "memory": profiling.device_memory_stats(),
+    }))
+    return 0
+
+
 def cmd_parity(args) -> int:
     """End-to-end accuracy-parity run (see ssad_tpu/parity.py)."""
     from ssad_tpu.parity import run_parity
@@ -340,6 +454,33 @@ def build_parser() -> argparse.ArgumentParser:
     common(e, models=True)
     e.add_argument("--subjects", default="all")
     e.set_defaults(fn=cmd_evaluate)
+
+    inf_p = sub.add_parser(
+        "infer", help="score a category with a trained model (tools.inference)"
+    )
+    common(inf_p, models=True)
+    inf_p.add_argument("--subject", required=True)
+    inf_p.add_argument("--artificial", action="store_true",
+                       help="score synthetic pretext data instead of the "
+                            "MVTec test set (mvtec_inference=False)")
+    inf_p.add_argument("--num-samples", type=int, default=256)
+    inf_p.set_defaults(fn=cmd_infer)
+
+    pr = sub.add_parser(
+        "profile", help="capture a device trace of the fused train step"
+    )
+    common(pr)
+    pr.add_argument("--subject", required=True)
+    pr.add_argument("--profile-dir", required=True)
+    pr.add_argument("--steps", type=int, default=5)
+    pr.add_argument("--projection-epochs", type=int, default=10)
+    pr.add_argument("--projection-lr", type=float, default=0.03)
+    pr.add_argument("--fine-tune-epochs", type=int, default=30)
+    pr.add_argument("--fine-tune-lr", type=float, default=0.005)
+    pr.add_argument("--backbone", default="resnet18",
+                    choices=["resnet18", "wide_resnet50_2"])
+    pr.add_argument("--pretrained-backbone", default=None)
+    pr.set_defaults(fn=cmd_profile)
 
     l = sub.add_parser("localize", help="qualitative localization panels")
     common(l, models=True)

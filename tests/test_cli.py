@@ -1,0 +1,99 @@
+"""CLI surface tests: parser wiring + infer/profile smoke (no training —
+an untrained checkpoint is enough to exercise the full code paths)."""
+
+import json
+
+import jax
+import numpy as np
+import pytest
+
+from ssad_tpu.cli import build_parser, main
+
+
+class TestParser:
+    def test_all_subcommands_parse(self):
+        p = build_parser()
+        base = ["--dataset-dir", "d"]
+        for argv in (
+            ["train", *base, "--subject", "bottle", "--data-shards", "2"],
+            ["sweep", *base, "--subjects", "bottle,carpet"],
+            ["train-multi", *base, "--subjects", "all", "--stack", "4"],
+            ["evaluate", *base, "--models-dir", "m"],
+            ["infer", *base, "--models-dir", "m", "--subject", "bottle",
+             "--artificial"],
+            ["localize", *base, "--models-dir", "m", "--subject", "bottle"],
+            ["qa", *base, "--subject", "bottle"],
+            ["profile", *base, "--subject", "bottle", "--profile-dir", "t"],
+            ["parity", "--modes", "image", "--backbone", "wide_resnet50_2"],
+        ):
+            args = p.parse_args(argv)
+            assert callable(args.fn), argv
+
+    def test_unknown_backbone_rejected(self):
+        p = build_parser()
+        with pytest.raises(SystemExit):
+            p.parse_args(["train", "--dataset-dir", "d", "--subject", "b",
+                          "--backbone", "resnet999"])
+
+
+@pytest.fixture(scope="module")
+def untrained_checkpoint(fake_mvtec, tmp_path_factory):
+    """An untrained-but-valid checkpoint for 64px inference."""
+    from ssad_tpu.config import DataConfig, ModelConfig, TrainConfig
+    from ssad_tpu.models.peranet import build_model, init_model
+    from ssad_tpu.train import checkpoint as ckpt
+
+    models_dir = tmp_path_factory.mktemp("models")
+    cfg = TrainConfig(
+        data=DataConfig(imsize=(64, 64)),
+        model=ModelConfig(compute_dtype="float32"),
+    )
+    model = build_model(cfg.model)
+    params, stats = init_model(model, jax.random.key(0), (1, 64, 64, 3))
+    ckpt.save_checkpoint(models_dir / "bottle", params, stats, None, cfg)
+    return models_dir
+
+
+class TestInferCommand:
+    def test_image_mode(self, fake_mvtec, untrained_checkpoint, tmp_path, capsys):
+        rc = main([
+            "infer", "--dataset-dir", str(fake_mvtec),
+            "--models-dir", str(untrained_checkpoint),
+            "--outputs-dir", str(tmp_path), "--subject", "bottle",
+            "--imsize", "64", "--batch-size", "4",
+        ])
+        assert rc == 0
+        summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert summary["mode"] == "image" and summary["n"] == 4
+        payload = np.load(summary["outputs"])
+        assert payload["anomaly"].shape == (4,)
+        assert set(np.unique(payload["y_true"])) <= {0, 1}
+
+    def test_patch_mode(self, fake_mvtec, untrained_checkpoint, tmp_path, capsys):
+        rc = main([
+            "infer", "--dataset-dir", str(fake_mvtec),
+            "--models-dir", str(untrained_checkpoint),
+            "--outputs-dir", str(tmp_path), "--subject", "bottle",
+            "--imsize", "64", "--patch-level", "--patch-dim", "32",
+            "--stride", "16",
+        ])
+        assert rc == 0
+        summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert summary["mode"] == "patch"
+        payload = np.load(summary["outputs"])
+        # upsampled (N, 64, 64) anomaly maps
+        assert payload["anomaly"].shape == (4, 64, 64)
+
+
+class TestProfileCommand:
+    def test_trace_written(self, fake_mvtec, tmp_path, capsys):
+        rc = main([
+            "profile", "--dataset-dir", str(fake_mvtec),
+            "--outputs-dir", str(tmp_path), "--subject", "bottle",
+            "--imsize", "64", "--batch-size", "4",
+            "--profile-dir", str(tmp_path / "trace"), "--steps", "2",
+        ])
+        assert rc == 0
+        summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert summary["steps"] == 2 and summary["mean_ms"] > 0
+        assert any((tmp_path / "trace").rglob("*"))
