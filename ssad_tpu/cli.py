@@ -70,6 +70,11 @@ def cmd_train(args) -> int:
 
         from ssad_tpu.parallel.mesh import make_mesh
 
+        if args.data_shards > len(jax.devices()):
+            raise SystemExit(
+                f"--data-shards {args.data_shards} > {len(jax.devices())} "
+                "available devices"
+            )
         mesh = make_mesh(n_model=1, devices=jax.devices()[: args.data_shards])
     data = mvtec.prepare_pretext_data(
         cfg.data.dataset_dir, cfg.data.subject, imsize=cfg.data.imsize,
@@ -124,9 +129,14 @@ def cmd_train_multi(args) -> int:
     if args.model_shards:
         n_model = args.model_shards
     else:
-        # largest divisor of the device count ≤ the subject count, so the
-        # ('model', 'data') mesh always factorizes
-        n_model = max(d for d in range(1, n_dev + 1) if n_dev % d == 0 and d <= max(len(subjects), 1))
+        # largest divisor of the device count ≤ the subject count —
+        # and, when --stack is given, one that divides the stack so
+        # fit_categories' stack % n_model check always passes
+        def ok(d):
+            if n_dev % d or d > max(len(subjects), 1):
+                return False
+            return args.stack is None or args.stack % d == 0
+        n_model = max((d for d in range(1, n_dev + 1) if ok(d)), default=1)
     cfg = _train_cfg(
         argparse.Namespace(**{**vars(args), "subject": subjects[0]}), n_model=n_model
     )
@@ -252,8 +262,13 @@ def cmd_infer(args) -> int:
         str(Path(args.models_dir) / args.subject / "best_model")
     )
     imsize = (args.imsize, args.imsize)
-    data = mvtec.prepare_pretext_data(args.dataset_dir, args.subject, imsize=imsize)
     patch = args.patch_level
+    if args.artificial and patch:
+        # artificial prediction yields whole-sample embeddings; there is
+        # no patch grid to reshape into maps (reference inference with
+        # mvtec_inference=False is image-level only, tools.py:339-345)
+        raise SystemExit("--artificial and --patch-level are mutually exclusive")
+    data = mvtec.prepare_pretext_data(args.dataset_dir, args.subject, imsize=imsize)
     if args.artificial:
         spec = SynthSpec(subject=args.subject, imsize=imsize)
         outputs = inf.predict_artificial(

@@ -128,7 +128,7 @@ class OptimConfig:
     #: save best-val-loss checkpoint cadence in fine-tune (tools.py:290)
     checkpoint_every_n_epochs: int = 5
     #: validation batches per epoch; None = the reference's full val
-    #: pass (tools.py:284-306).  Smoke tests set a small cap.
+    #: pass (tools.py:284-306); set a small cap to shorten smoke runs
     val_batches: Optional[int] = None
 
 

@@ -29,7 +29,11 @@ from ssad_tpu.data.synthetic import SynthSpec, batched_synthesizer
 from ssad_tpu.models.peranet import build_model, init_model
 from ssad_tpu.train import optim as optim_mod
 from ssad_tpu.train.memory_bank import MemoryBank, init_bank, insert
-from ssad_tpu.train.trainer import _epoch_steps, bank_fill_embeddings
+from ssad_tpu.train.trainer import (
+    _epoch_steps,
+    bank_fill_embeddings,
+    bank_fill_subset,
+)
 
 
 class StackedState(NamedTuple):
@@ -151,13 +155,11 @@ def make_multi_category_step(
         new_params = optax.apply_updates(params, updates)
         y_hat = jnp.argmax(logits, axis=-1)
         acc = jnp.mean((y_hat == y).astype(jnp.float32))
-        # bank-fill on the first bank_fill_rows iid rows only — same
-        # subsampling as the single-category step (ModelConfig docs)
-        rows = cfg.model.bank_fill_rows
-        rows = orig.shape[0] if rows is None else min(rows, orig.shape[0])
-        mask_fill = (y[:rows] == 0) & (y_hat[:rows] == 0) & fill
+        orig_rows, emb_rows, mask_fill = bank_fill_subset(
+            cfg.model.bank_fill_rows, y, y_hat, orig, emb, fill
+        )
         emb_eval = bank_fill_embeddings(
-            model, new_params, new_stats, orig[:rows], fill, emb[:rows]
+            model, new_params, new_stats, orig_rows, fill, emb_rows
         )
         new_bank = insert(bank, emb_eval, mask_fill)
         return new_params, new_stats, new_opt, new_bank, jnp.stack([loss, acc])

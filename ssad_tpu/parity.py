@@ -140,6 +140,10 @@ def generate_parity_dataset(
     (<root>/<cat>/{train/good,test/good,test/defect,ground_truth/defect})."""
     root = Path(root)
     rng = np.random.default_rng(seed)
+    manifest = {
+        "subjects": sorted(subjects), "imsize": imsize, "n_train": n_train,
+        "n_test_good": n_test_good, "n_test_defect": n_test_defect, "seed": seed,
+    }
     for subject in subjects:
         for i in range(n_train):
             _save_png(
@@ -157,6 +161,7 @@ def generate_parity_dataset(
             _save_png(
                 root / subject / "ground_truth" / "defect" / f"{i:03d}_mask.png", gt
             )
+    (root / "manifest.json").write_text(json.dumps(manifest, indent=2))
     return root
 
 
@@ -209,7 +214,21 @@ def run_parity(
     if dataset_dir is None:
         subjects = list(subjects or SYNTHETIC_SUBJECTS)
         dataset_dir = str(out_root / "synthetic_dataset")
-        if not Path(dataset_dir).exists():
+        manifest_path = Path(dataset_dir) / "manifest.json"
+        reusable = False
+        if manifest_path.exists():
+            m = json.loads(manifest_path.read_text())
+            reusable = (
+                set(subjects) <= set(m.get("subjects", []))
+                and m.get("imsize") == imsize and m.get("seed") == seed
+            )
+        if Path(dataset_dir).exists() and not reusable:
+            raise SystemExit(
+                f"{dataset_dir} exists but does not cover subjects="
+                f"{subjects} at imsize={imsize} seed={seed}; use a fresh "
+                "--outputs-dir or delete the stale synthetic_dataset"
+            )
+        if not reusable:
             if verbose:
                 print(f"generating synthetic dataset → {dataset_dir}")
             generate_parity_dataset(dataset_dir, subjects, imsize=imsize, seed=seed)
@@ -234,6 +253,23 @@ def run_parity(
         )
         mode_dir = out_root / f"{mode}_level"
         models_dir = mode_dir / "models"
+        # existing checkpoints are only reused for the SAME run config —
+        # otherwise a rerun with e.g. a different backbone would silently
+        # publish results for the wrong model
+        fingerprint = {
+            "backbone": backbone, "pretrained": bool(pretrained_backbone),
+            "imsize": imsize, "batch_size": batch_size,
+            "projection_epochs": projection_epochs,
+            "fine_tune_epochs": fine_tune_epochs, "seed": seed, "mode": mode,
+        }
+        fp_path = models_dir / "parity_run.json"
+        if fp_path.exists() and json.loads(fp_path.read_text()) != fingerprint:
+            raise SystemExit(
+                f"{models_dir} holds checkpoints from a different parity "
+                f"config ({fp_path}); use a fresh --outputs-dir"
+            )
+        models_dir.mkdir(parents=True, exist_ok=True)
+        fp_path.write_text(json.dumps(fingerprint, indent=2))
         for subject in subjects:
             if (models_dir / subject / "best_model").exists():
                 if verbose:

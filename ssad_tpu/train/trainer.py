@@ -62,6 +62,19 @@ def bank_fill_embeddings(model, params, batch_stats, originals, fill, like):
     )
 
 
+def bank_fill_subset(bank_fill_rows, y, y_hat, orig, emb, fill):
+    """(orig_rows, emb_rows, accept_mask) for the memory-bank fill.
+
+    Only the first ``bank_fill_rows`` (iid) rows of the batch are
+    considered — embedding the whole batch costs a second full forward
+    while only ~¼ of rows pass y==0∧ŷ==0 (ModelConfig.bank_fill_rows
+    docs).  Shared by the single-category and stacked steps so the
+    parity-sensitive acceptance rule cannot diverge."""
+    rows = orig.shape[0] if bank_fill_rows is None else min(bank_fill_rows, orig.shape[0])
+    mask = (y[:rows] == 0) & (y_hat[:rows] == 0) & fill
+    return orig[:rows], emb[:rows], mask
+
+
 class TrainState(NamedTuple):
     params: Any
     batch_stats: Any
@@ -183,14 +196,12 @@ class Trainer:
             acc = jnp.mean((y_hat == y).astype(jnp.float32))
             # memory-bank fill: y==0 ∧ ŷ==0 ∧ second-half-of-epochs
             # (models.py:270-275); see bank_fill_embeddings for the
-            # eval-mode/clean-originals rationale.  Only the first
-            # bank_fill_rows (iid) rows are embedded — the second
-            # forward is the main fill-phase cost (ModelConfig docs).
-            rows = self.cfg.model.bank_fill_rows
-            rows = orig.shape[0] if rows is None else min(rows, orig.shape[0])
-            mask = (y[:rows] == 0) & (y_hat[:rows] == 0) & fill_bank
+            # eval-mode/clean-originals rationale
+            orig_rows, emb_rows, mask = bank_fill_subset(
+                self.cfg.model.bank_fill_rows, y, y_hat, orig, emb, fill_bank
+            )
             emb_eval = bank_fill_embeddings(
-                model, new_params, new_stats, orig[:rows], fill_bank, emb[:rows]
+                model, new_params, new_stats, orig_rows, fill_bank, emb_rows
             )
             bank = insert(state.bank, emb_eval, mask)
 

@@ -19,7 +19,8 @@ def tiny_cfg(subject="bottle", **data_kw):
         ),
         model=config.ModelConfig(compute_dtype="float32", memory_bank_size=64),
         optim=config.OptimConfig(
-            projection_epochs=2, fine_tune_epochs=2, checkpoint_every_n_epochs=1
+            projection_epochs=2, fine_tune_epochs=2, checkpoint_every_n_epochs=1,
+            val_batches=1,  # exercise the smoke-run cap (None = full pass)
         ),
     )
 
