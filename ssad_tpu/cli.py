@@ -199,7 +199,10 @@ def cmd_localize(args) -> int:
     data = mvtec.prepare_pretext_data(args.dataset_dir, args.subject, imsize=cfg.imsize)
     test = mvtec.prepare_mvtec_test_data(args.dataset_dir, args.subject, imsize=cfg.imsize)
     loc = Localizer(engine, cfg).setup(data)
-    paths = loc.localize(test, str(Path(args.outputs_dir) / args.subject), args.num_images)
+    paths = loc.localize(
+        test, str(Path(args.outputs_dir) / args.subject), args.num_images,
+        seed=args.seed,
+    )
     print("\n".join(paths))
     return 0
 
