@@ -134,13 +134,26 @@ class SynthSpec:
             side *= math.sqrt(2.0)  # expand=True bounding box
         return int(math.ceil((side + 2) / 8.0) * 8)
 
+    @staticmethod
+    def _aspect_extreme(ranges) -> float:
+        """Largest side-stretch factor over both aspect intervals: width
+        grows with aspect (√aspect), height with 1/aspect (√(1/aspect)),
+        so the bounding side is governed by max(aspect_hi, 1/aspect_lo)."""
+        return max(max(ranges[1]), 1.0 / min(ranges[0]))
+
     @property
     def poly_tile(self) -> int:
-        return self._tile(self.patch_area_ratio[1], max(self.aug.patch_aspect_ratio[1]), False)
+        return self._tile(
+            self.patch_area_ratio[1], self._aspect_extreme(self.aug.patch_aspect_ratio),
+            False,
+        )
 
     @property
     def scar_tile(self) -> int:
-        return self._tile(self.scar_area_ratio[1], max(self.aug.scar_aspect_ratio[1]), True)
+        return self._tile(
+            self.scar_area_ratio[1], self._aspect_extreme(self.aug.scar_aspect_ratio),
+            True,
+        )
 
 
 # --- small shared helpers -------------------------------------------------
@@ -253,11 +266,13 @@ def _container_clamp(canvas_hw, patch_w, patch_h, cx, cy, scale: float):
     (reference check_valid_coordinates_by_container,
     dataset_generator.py:104-144: note it uses imsize[0] for both axes)."""
     center = canvas_hw[0] // 2
-    reach = jnp.int32(center / scale)
-    left = center - reach
-    top = center - reach
-    right = center + reach
-    bottom = center + reach
+    # reference: left = int(center - center/scale) — truncation applies
+    # AFTER the subtraction (Container, dataset_generator.py:15-24); for
+    # scale 1.75 this differs by 1 from center - int(center/scale)
+    left = jnp.int32(center - center / scale)
+    top = left
+    right = jnp.int32(center + center / scale)
+    bottom = right
 
     half_w = patch_w // 2
     half_h = patch_h // 2
@@ -293,8 +308,13 @@ def _gen_crop_geometry(key, area_ratio, aspect_ratio, cut_hw):
 
 
 def _rect_mean_color(img, left, top, w, h):
-    """Mean RGB over a dynamic rectangle of img (H, W, C), clipped to
-    the image bounds, as two indicator-vector contractions.
+    """Mean RGB over a dynamic rectangle of img (H, W, C), as two
+    indicator-vector contractions.
+
+    The divisor is the FULL w·h requested area, not the in-bounds pixel
+    count: the reference's PIL crop pads out-of-bounds area with black
+    and means over the whole crop (dataset_generator.py:206), so crops
+    that extend past the canvas are darkened by the padding.
 
     TPU note: this replaced a per-sample summed-area table — the two
     full-image cumsums cost 6.5 ms/batch (40% of the whole synthesis
@@ -311,7 +331,7 @@ def _rect_mean_color(img, left, top, w, h):
         "j,jlc,l->c", rvec, img.astype(jnp.float32), cvec,
         precision=jax.lax.Precision.HIGHEST,
     )
-    cnt = jnp.maximum(jnp.sum(rvec) * jnp.sum(cvec), 1.0)
+    cnt = jnp.maximum(jnp.asarray(w * h, jnp.float32), 1.0)
     return total / cnt
 
 
@@ -644,29 +664,6 @@ def _draw_line(key, spec: SynthSpec, x, cs):
     return jnp.where(lmask[..., None] > 0, color, x)
 
 
-# --- on-device mask compaction (patch mode) ---------------------------------
-
-
-def compact_mask_coords(mask_bin: jax.Array):
-    """Pack a binary mask's coordinates row-major, on device.
-
-    Stable argsort puts the 1-pixels first in row-major order — the
-    same ordering as the host-side pack_coords / reference coords_map.
-    Returns ((H·W, 2) int32 (x, y), count).
-    """
-    h, w = mask_bin.shape
-    flat = mask_bin.reshape(-1)
-    order = jnp.argsort(jnp.logical_not(flat), stable=True)
-    xs = (order % w).astype(jnp.int32)
-    ys = (order // w).astype(jnp.int32)
-    coords = jnp.stack([xs, ys], axis=1)
-    n = jnp.sum(flat).astype(jnp.int32)
-    last = coords[jnp.maximum(n - 1, 0)]
-    idx = jnp.arange(h * w)
-    coords = jnp.where((idx < n)[:, None], coords, last[None, :])
-    return coords, n
-
-
 # --- the synthesizer ---------------------------------------------------------
 
 
@@ -690,7 +687,8 @@ def make_synthesizer(spec: SynthSpec):
     aug = spec.aug
     ph_, pw_ = spec.canvas
 
-    def synth(key, image, cut_pool, n_cut, mask, coords, n_coords, pre=None):
+    def synth(key, image, cut_pool, n_cut, mask, coords, n_coords, pre=None,
+              cut_img=None):
         keys = jax.random.split(key, 8)
         y = _randint_incl(keys[0], 0, 3)  # datasets.py:215
         # internal pipeline runs bf16: every pass is bandwidth-bound and
@@ -706,8 +704,14 @@ def make_synthesizer(spec: SynthSpec):
 
         # cut source (datasets.py:225-228)
         if spec.is_texture:
-            cut_idx = _randint_incl(keys[2], 0, jnp.maximum(n_cut - 1, 0))
-            cut = cut_pool[cut_idx].astype(jnp.bfloat16)
+            if cut_img is not None:
+                # pre-gathered by batched_synthesizer outside the vmap —
+                # the per-sample cut_pool[idx] gather under vmap
+                # broadcasts the whole pool per sample (README rule 7)
+                cut = cut_img.astype(jnp.bfloat16)
+            else:
+                cut_idx = _randint_incl(keys[2], 0, jnp.maximum(n_cut - 1, 0))
+                cut = cut_pool[cut_idx].astype(jnp.bfloat16)
         else:
             # always the un-affined, un-cropped original (datasets.py:228)
             cut = original.astype(jnp.bfloat16)
@@ -731,9 +735,15 @@ def make_synthesizer(spec: SynthSpec):
             c_t = _randint_incl(kct, 0, cut.shape[0] - spec.patch_size)
             cut = _shift2d(cut, c_t, c_l, spec.patch_size, spec.patch_size)
             mask_bin = mask > 0.5
-            # degenerate working area → force 'good' (datasets.py:258-259)
+            # degenerate working area → force 'good' (datasets.py:258-259).
+            # The reference sums ToTensor() of an RGB segmentation — every
+            # object pixel counts 3× — against patch²/2, so the effective
+            # coverage threshold is patch²/6, not patch²/2.
             y = jnp.where(
-                jnp.sum(mask_bin) < (spec.patch_size * spec.patch_size) // 2, 0, y
+                3.0 * jnp.sum(mask_bin)
+                < (spec.patch_size * spec.patch_size) / 2.0,
+                0,
+                y,
             )
             cs = make_cdf_coords(mask_bin)
         elif pre is not None:
@@ -770,11 +780,37 @@ def batched_synthesizer(spec: SynthSpec, per_image_masks: bool | None = None):
         per_image_masks = spec.is_non_fixed
     synth = make_synthesizer(spec)
     ax = 0 if per_image_masks else None
+    cut_ax = 0 if spec.is_texture else None
+
+    def pre_cut_images(keys, cut_pool, n_cut):
+        """One batched pool gather outside the vmap, using the SAME key
+        slot the per-sample path would use (split(key, 8)[2]) — so the
+        hoist is bit-identical to the in-vmap gather it replaces."""
+        if not spec.is_texture:
+            return None
+        idx = jax.vmap(
+            lambda k: _randint_incl(
+                jax.random.split(k, 8)[2], 0, jnp.maximum(n_cut - 1, 0)
+            )
+        )(keys)
+        return cut_pool[idx]
+
     if spec.patch_localization:
-        return jax.vmap(synth, in_axes=(0, 0, None, None, ax, ax, ax))
+        inner_patch = jax.vmap(
+            synth, in_axes=(0, 0, None, None, ax, ax, ax, None, cut_ax)
+        )
+
+        def run_patch(keys, images, cut_pool, n_cut, masks, coords, counts):
+            cuts = pre_cut_images(keys, cut_pool, n_cut)
+            return inner_patch(
+                keys, images, cut_pool, n_cut, masks, coords, counts, None, cuts
+            )
+
+        return run_patch
 
     n_walk = spec.line_points
     max_copies = spec.aug.scar_copies[1]
+    inner = jax.vmap(synth, in_axes=(0, 0, None, None, ax, None, None, 0, cut_ax))
 
     def run(keys, images, cut_pool, n_cut, masks, coords, counts):
         sample_keys = jax.vmap(lambda k: jax.random.fold_in(k, 0x5A11))(keys)
@@ -790,8 +826,7 @@ def batched_synthesizer(spec: SynthSpec, per_image_masks: bool | None = None):
             pts[:, 1 : 1 + max_copies],
             pts[:, 1 + max_copies :].astype(jnp.float32),
         )
-        return jax.vmap(synth, in_axes=(0, 0, None, None, ax, None, None, 0))(
-            keys, images, cut_pool, n_cut, masks, None, None, pre
-        )
+        cuts = pre_cut_images(keys, cut_pool, n_cut)
+        return inner(keys, images, cut_pool, n_cut, masks, None, None, pre, cuts)
 
     return run

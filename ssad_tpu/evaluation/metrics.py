@@ -80,9 +80,12 @@ def precision_recall_curve(labels, scores):
     s = s[order]
     total_pos = int(y.sum())
     n = len(s)
-    # predictions at threshold t: scores >= t. Sweep distinct values.
-    distinct = np.r_[np.diff(s) != 0, True]
-    idxs = np.nonzero(distinct)[0]
+    # predictions at threshold t: scores >= t. Sweep distinct values;
+    # a run of tied scores must be counted from its FIRST index (the
+    # whole run satisfies >= t), not its last — indexing the last
+    # under-counted tp/support whenever scores contain duplicates.
+    first_of_run = np.r_[True, np.diff(s) != 0]
+    idxs = np.nonzero(first_of_run)[0]
     # tail sums: positives with score >= s[i]
     pos_tail = np.cumsum(y[::-1])[::-1]
     thresholds = s[idxs]
@@ -163,7 +166,9 @@ def compute_pro(anomaly_maps: np.ndarray, ground_truth_maps: np.ndarray):
     scores = maps.ravel()
     order = np.argsort(scores, kind="stable")[::-1]
     scores_sorted = scores[order]
-    fprs = np.cumsum(fp_change.ravel()[order]).astype(np.float64) / max(num_ok, 1)
+    # int64 cumsum: the reference asserts n_pixels < uint32 max for this
+    # exact sum (metrics.py:70-71); int64 removes the overflow ceiling
+    fprs = np.cumsum(fp_change.ravel()[order], dtype=np.int64).astype(np.float64) / max(num_ok, 1)
     pros = np.cumsum(pro_change.ravel()[order]) / max(num_regions, 1)
 
     # keep only the last point of each equal-score run

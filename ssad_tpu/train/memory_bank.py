@@ -52,16 +52,19 @@ def insert(bank: MemoryBank, embeddings: jax.Array, mask: jax.Array) -> MemoryBa
     # rank among accepted rows (exclusive prefix sum)
     rank = jnp.cumsum(mask) - mask
     slot = (bank.cursor + rank) % cap  # (b,)
-    # one-hot scatter: onehot[s, i] = 1 iff accepted row i targets slot s.
-    # later batch rows overwrite earlier ones only if slots collide
-    # (b > cap), which the (slot uniqueness for b ≤ cap) ring guarantees
-    # can't happen within one insert of b ≤ cap rows.
+    n_inserted = jnp.sum(mask)
+    # slots are unique while ≤ cap rows are accepted; beyond that, rows
+    # cap apart in rank collide and sequential-ring semantics say the
+    # NEWEST must win — a plain one-hot matmul would SUM colliding rows.
+    # An accepted row survives iff it is in the last `cap` accepted:
+    last_wins = rank >= (n_inserted - cap)
+    write = (mask > 0) & last_wins
+    # one-hot scatter: onehot[s, i] = 1 iff surviving row i targets slot s
     slots = jax.lax.broadcasted_iota(jnp.int32, (cap, b), 0)
-    onehot = ((slots == slot[None, :]) & (mask[None, :] > 0)).astype(embeddings.dtype)
+    onehot = ((slots == slot[None, :]) & write[None, :]).astype(embeddings.dtype)
     written = onehot @ embeddings  # (cap, dim)
     keep = 1.0 - jnp.max(onehot, axis=1, keepdims=True)
     data = bank.data * keep.astype(bank.data.dtype) + written.astype(bank.data.dtype)
-    n_inserted = jnp.sum(mask)
     return MemoryBank(
         data=data,
         cursor=(bank.cursor + n_inserted) % cap,

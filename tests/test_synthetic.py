@@ -12,11 +12,7 @@ import numpy as np
 import pytest
 
 from ssad_tpu.data import masks
-from ssad_tpu.data.synthetic import (
-    SynthSpec,
-    batched_synthesizer,
-    compact_mask_coords,
-)
+from ssad_tpu.data.synthetic import SynthSpec, batched_synthesizer
 from ssad_tpu.ops import image as im
 
 
@@ -174,20 +170,6 @@ class TestPatchLevel:
             assert np.isfinite(np.asarray(x)).all()
 
 
-class TestCompaction:
-    def test_compact_matches_host_pack(self):
-        rng = np.random.default_rng(3)
-        m = (rng.random((32, 32)) > 0.7).astype(np.float32)
-        host_c, host_n = masks.pack_coords(m.astype(np.uint8))
-        dev_c, dev_n = compact_mask_coords(jnp.asarray(m) > 0.5)
-        assert int(dev_n) == host_n
-        np.testing.assert_array_equal(np.asarray(dev_c)[:host_n], host_c[:host_n])
-
-    def test_compact_empty(self):
-        c, n = compact_mask_coords(jnp.zeros((8, 8), bool))
-        assert int(n) == 0
-
-
 class TestMasks:
     def test_object_mask_finds_disc(self):
         yy, xx = np.mgrid[0:128, 0:128]
@@ -223,3 +205,31 @@ class TestMasks:
         np.testing.assert_array_equal(c[1], [0, 2])
         # padding repeats last coord
         np.testing.assert_array_equal(c[2], [0, 2])
+
+
+class TestHoistedCutGather:
+    """The batched path pre-gathers texture cut images outside the vmap
+    using the same key slot the per-sample path uses — patch-mode
+    outputs must be bit-identical to the plain per-sample vmap."""
+
+    def test_patch_mode_bit_identical(self, scene):
+        from ssad_tpu.data.synthetic import make_synthesizer
+
+        img, mask, coords, count = scene
+        pool = np.stack([img, np.roll(img, 30, axis=0)])
+        spec = SynthSpec(
+            subject="carpet", imsize=(128, 128), patch_localization=True,
+            patch_size=64,
+        )
+        batched = batched_synthesizer(spec, per_image_masks=False)
+        plain = jax.vmap(
+            make_synthesizer(spec), in_axes=(0, 0, None, None, None, None, None)
+        )
+        keys = jax.random.split(jax.random.key(3), 16)
+        imgs = jnp.broadcast_to(jnp.asarray(img), (16,) + img.shape)
+        args = (keys, imgs, jnp.asarray(pool), jnp.int32(pool.shape[0]),
+                jnp.asarray(mask), jnp.asarray(coords), jnp.int32(count))
+        xb, yb, _ = batched(*args)
+        xp, yp, _ = plain(*args)
+        np.testing.assert_array_equal(np.asarray(yb), np.asarray(yp))
+        np.testing.assert_array_equal(np.asarray(xb), np.asarray(xp))
