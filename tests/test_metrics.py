@@ -132,3 +132,23 @@ class TestExport:
             assert (tmp_path / name).exists()
         content = (tmp_path / "t.md").read_text()
         assert "bottle" in content and "0.9" in content
+
+
+class TestPrecisionRecallTies:
+    def test_matches_sklearn_with_heavy_ties(self):
+        from sklearn.metrics import precision_recall_curve as sk_prc
+
+        from ssad_tpu.evaluation import metrics as M
+
+        rng = np.random.default_rng(0)
+        for trial in range(25):
+            n = int(rng.integers(5, 200))
+            y = rng.integers(0, 2, n)
+            if y.sum() == 0:
+                y[0] = 1
+            s = np.round(rng.random(n), 1)  # quantized → heavy ties
+            p, r, t = M.precision_recall_curve(y, s)
+            sp, sr, st = sk_prc(y, s)
+            np.testing.assert_allclose(np.sort(t), np.sort(st))
+            np.testing.assert_allclose(p, sp, atol=1e-12)
+            np.testing.assert_allclose(r, sr, atol=1e-12)

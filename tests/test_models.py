@@ -420,3 +420,36 @@ class TestFoldedStem:
         model = build_model(ModelConfig())
         params, _ = init_model(model, jax.random.key(0), (1, 64, 64, 3))
         assert params["backbone"]["conv1"]["kernel"].shape == (7, 7, 3, 64)
+
+
+class TestMemoryBankOverCapacity:
+    def test_over_capacity_insert_newest_wins(self):
+        import jax
+        import jax.numpy as jnp
+
+        from ssad_tpu.train.memory_bank import init_bank, insert, newest_first
+
+        bank = init_bank(4, 2)
+        emb = jnp.arange(12, dtype=jnp.float32).reshape(6, 2)
+        bank = insert(bank, emb, jnp.ones(6, bool))
+        expect_newest = np.asarray([[10, 11], [8, 9], [6, 7], [4, 5]], np.float32)
+        np.testing.assert_array_equal(np.asarray(newest_first(bank)), expect_newest)
+        assert int(bank.count) == 4 and int(bank.cursor) == 2
+
+    def test_matches_sequential_ring_oracle(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from ssad_tpu.train.memory_bank import init_bank, insert
+
+        bank = init_bank(5, 3)
+        ring, cur = [np.zeros(3, np.float32)] * 5, 0
+        for step in range(8):
+            e = rng.normal(size=(7, 3)).astype(np.float32)
+            m = rng.random(7) > 0.4
+            bank = insert(bank, jnp.asarray(e), jnp.asarray(m))
+            for i in range(7):
+                if m[i]:
+                    ring[cur % 5] = e[i]
+                    cur += 1
+        np.testing.assert_allclose(np.asarray(bank.data), np.stack(ring), rtol=1e-6)
