@@ -222,9 +222,7 @@ def presample_indices(key, count, n_walk: int, max_copies: int):
     u_s = jax.random.uniform(ks, (max_copies,))
     i_scars = (u_s * jnp.maximum(count, 1).astype(jnp.float32)).astype(jnp.int32)
     i_scars = jnp.clip(i_scars, 0, jnp.maximum(count - 1, 0))
-    uw = _sorted_uniform(kw, n_walk)
-    i_walk = (uw * jnp.maximum(count, 1).astype(jnp.float32)).astype(jnp.int32)
-    i_walk = jnp.clip(i_walk, 0, jnp.maximum(count - 1, 0))
+    i_walk = _walk_ranks(kw, count, n_walk)
     return jnp.concatenate([i_poly[None], i_scars, i_walk])
 
 
@@ -239,25 +237,43 @@ def _sample_mask_coord(key, cs):
     return _ranks_to_coords(cs, rank[None])[0]
 
 
-def _sorted_uniform(key, n: int):
-    """n sorted U[0,1) samples without a sort op: normalized cumulative
-    sums of exponential spacings (order-statistics identity).  A
-    per-sample jnp.sort lowers to a while-loop on TPU; this is one pass."""
-    e = -jnp.log1p(-jax.random.uniform(key, (n + 1,), minval=0.0, maxval=0.999999))
-    c = jnp.cumsum(e)
-    return c[:-1] / jnp.maximum(c[-1], 1e-12)
+def _walk_ranks(key, count, n: int):
+    """(n,) monotone int32 ranks into the mask's row-major coord list,
+    matching the reference's progressive recurrence (datasets.py:362-368):
+    index_0 = 0, index_i = randint(index_{i-1}, floor(M·i/n)).
+
+    In continuous form x_i = (1−u_i)·x_{i−1} + u_i·b_i with
+    b_i = floor(M·i/n) — an affine recurrence, so it lowers to ONE
+    associative_scan (O(log n) depth) instead of a sequential loop.
+    This is NOT equivalent to n sorted uniforms (the round-2
+    implementation): the stationary lag L ⩾ 0 below the diagonal obeys
+    L =ᵈ (1−U)(L+δ), giving spacing variance δ²/2 vs δ² for sorted
+    uniforms — a two-sample KS test tells them apart easily
+    (tests/test_ref_distributions.py pins this to the reference policy).
+    """
+    u = jax.random.uniform(key, (n,))
+    m = jnp.maximum(count, 1).astype(jnp.float32)
+    b = jnp.floor(m * jnp.arange(n, dtype=jnp.float32) / n)
+    a = 1.0 - u
+    c = u * b
+
+    def combine(left, right):
+        la, lc = left
+        ra, rc = right
+        return la * ra, lc * ra + rc
+
+    _, xs = jax.lax.associative_scan(combine, (a, c))
+    return jnp.clip(xs.astype(jnp.int32), 0, jnp.maximum(count - 1, 0))
 
 
 def _sample_mask_walk(key, cs, n: int):
     """(n, 2) float points walking monotonically through the mask in
-    row-major order — the distribution-level equivalent of the
-    reference's progressive index recurrence (datasets.py:362-368)."""
-    u = _sorted_uniform(key, n)
+    row-major order via the reference's index recurrence
+    (datasets.py:362-368; see _walk_ranks)."""
     if isinstance(cs, PackedCoords):
-        idx = (u * jnp.maximum(cs.count, 1).astype(jnp.float32)).astype(jnp.int32)
-        idx = jnp.clip(idx, 0, jnp.maximum(cs.count - 1, 0))
-        return cs.coords[idx].astype(jnp.float32)
-    ranks = (u * jnp.maximum(cs.total, 1).astype(jnp.float32)).astype(jnp.int32)
+        ranks = _walk_ranks(key, cs.count, n)
+        return cs.coords[ranks].astype(jnp.float32)
+    ranks = _walk_ranks(key, cs.total, n)
     return _ranks_to_coords(cs, ranks).astype(jnp.float32)
 
 
