@@ -26,6 +26,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ssad_tpu.config import TrainConfig
 from ssad_tpu.data.synthetic import SynthSpec, batched_synthesizer
+from ssad_tpu.parallel import distributed as dist
 from ssad_tpu.models.peranet import build_model, init_model
 from ssad_tpu.train import optim as optim_mod
 from ssad_tpu.train.memory_bank import MemoryBank, init_bank, insert
@@ -126,7 +127,8 @@ def make_multi_category_step(
         state = StackedState(params, stats, opt, bank, jnp.zeros((), jnp.int32))
         shardings = jax.tree_util.tree_map(lambda _: model_sharding, state)
         shardings = shardings._replace(step=replicated)
-        return jax.device_put(state, shardings)
+        # multi-process-safe put: every process computed the same state
+        return dist.put_global_tree(state, shardings)
 
     def per_category_step(params, batch_stats, opt_state, bank, key, images, cut_pool,
                           mask, coords, count, fill):
@@ -186,6 +188,44 @@ def make_multi_category_step(
     return init_fn, step_fn
 
 
+def make_multi_category_eval(cfg: TrainConfig, spec: SynthSpec, mesh: Mesh):
+    """Stacked validation step: the single-category Trainer's eval_step
+    math (synthesize a val batch, eval-mode forward, CE loss + accuracy;
+    trainer.py:211-219) vmapped over the category stack.
+
+    Returns eval_fn(params, batch_stats, keys (C,), data) → (C, 2)
+    [loss, accuracy] per category.
+    """
+    model = build_model(cfg.model)
+    synth = batched_synthesizer(spec, per_image_masks=False)
+    b = cfg.data.batch_size
+
+    def per_category_eval(params, batch_stats, key, images, cut_pool, mask,
+                          coords, count):
+        k_idx, k_syn = jax.random.split(key)
+        idx = jax.random.randint(k_idx, (b,), 0, images.shape[0])
+        keys = jax.random.split(k_syn, b)
+        x, y, _ = synth(keys, images[idx], cut_pool, jnp.int32(cut_pool.shape[0]),
+                        mask, coords, count)
+        x = jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P("data")))
+        out = model.apply({"params": params, "batch_stats": batch_stats}, x,
+                          train=False)
+        loss = optax.softmax_cross_entropy_with_integer_labels(
+            out["classifier"], y
+        ).mean()
+        acc = jnp.mean((jnp.argmax(out["classifier"], -1) == y).astype(jnp.float32))
+        return jnp.stack([loss, acc])
+
+    @jax.jit
+    def eval_fn(params, batch_stats, keys, data: CategoryData):
+        return jax.vmap(
+            per_category_eval, in_axes=(0, 0, 0, 0, None, 0, 0, 0)
+        )(params, batch_stats, keys, data.images, data.cut_pool, data.masks,
+          data.coords, data.counts)
+
+    return eval_fn
+
+
 def _fresh_opt_and_bank(
     cfg: TrainConfig, mesh: Mesh, state: StackedState, stage: str,
     steps_per_epoch: int,
@@ -238,6 +278,56 @@ def group_compatible_subjects(subjects, patch_localization: bool = False):
     return groups, non_fixed
 
 
+class CategoryFitResult(NamedTuple):
+    """Per-category outcome of a stacked run — same observability
+    surface as the single-category TrainResult (trainer.py:86-94):
+    final weights + bank, per-epoch history, and the best-val-loss
+    snapshot tracked at the fine-tune checkpoint cadence."""
+
+    params: Any
+    batch_stats: Any
+    bank: MemoryBank
+    history: dict
+    best_params: Any = None
+    best_batch_stats: Any = None
+    best_val_loss: float = float("inf")
+
+
+def _group_snapshot_path(resume_dir, group):
+    from pathlib import Path
+
+    return Path(resume_dir) / ("multi_" + "-".join(group)) / "resume_snapshot.pkl"
+
+
+def _save_group_snapshot(path, stage, epoch, state, rng, histories, best):
+    """Atomic epoch-granular snapshot of the FULL stacked state (params,
+    BN stats, optimizer, banks, RNG, histories, best-val copies) — the
+    recovery story the single-category Trainer already has
+    (trainer.py:359-382); a crash in a multi-hour train-multi run loses
+    at most one epoch.
+
+    Multi-process: every process participates in the host gather
+    (collective), only process 0 writes; resume_dir must be a shared
+    filesystem for cross-host restores."""
+    import pickle
+
+    payload = {
+        "stage": stage,
+        "epoch": epoch,
+        "state": dist.to_host(state),
+        "rng": np.asarray(jax.random.key_data(rng)),
+        "histories": histories,
+        "best": best,
+    }
+    if jax.process_index() != 0:
+        return
+    path.parent.mkdir(parents=True, exist_ok=True)
+    tmp = path.with_suffix(".tmp")
+    with open(tmp, "wb") as f:
+        pickle.dump(payload, f)
+    tmp.replace(path)
+
+
 def fit_categories(
     cfg: TrainConfig,
     subjects,
@@ -246,12 +336,21 @@ def fit_categories(
     seed: int = 0,
     verbose: bool = True,
     stack_size: int | None = None,
+    resume_dir: str | None = None,
 ):
     """Train all `subjects` simultaneously as one stacked SPMD program,
     with the reference's two-phase schedule applied to every category.
 
-    Returns {subject: (params, batch_stats, bank)} — unstacked, ready
-    for per-category checkpoints.  Categories are trained in chunks of
+    Training-quality parity with the single-category Trainer: every
+    epoch runs a stacked validation pass (reference validates every
+    epoch, tools.py:301 check_val_every_n_epoch=1), per-category
+    loss/accuracy histories are recorded for plot_history, best-val
+    snapshots are tracked at the fine-tune checkpoint cadence
+    (tools.py:284-290), and `resume_dir` enables atomic epoch-granular
+    resume snapshots per group.
+
+    Returns {subject: CategoryFitResult} — unstacked, ready for
+    per-category checkpoints.  Categories are trained in chunks of
     `stack_size` (default: the mesh's 'model' extent); each model shard
     carries stack_size/n_model categories, so several categories train
     simultaneously even on a single chip.
@@ -273,6 +372,7 @@ def fit_categories(
         # per-image object masks don't fit the stacked data layout —
         # train those with the single-category Trainer
         import dataclasses as _dc
+        from pathlib import Path as _Path
 
         from ssad_tpu.train.trainer import Trainer
 
@@ -281,12 +381,16 @@ def fit_categories(
                 cfg, data=_dc.replace(cfg.data, subject=subject)
             )
             r = Trainer(sub_cfg, data_by_subject[subject]).fit(
-                seed=seed, verbose=verbose
+                seed=seed, verbose=verbose,
+                resume_dir=(
+                    str(_Path(resume_dir) / subject) if resume_dir else None
+                ),
             )
-            results[subject] = (
+            results[subject] = CategoryFitResult(
                 jax.tree_util.tree_map(np.asarray, r.params),
                 jax.tree_util.tree_map(np.asarray, r.batch_stats),
                 jax.tree_util.tree_map(np.asarray, r.bank),
+                r.history, r.best_params, r.best_batch_stats, r.best_val_loss,
             )
 
     flat_groups = [
@@ -296,9 +400,21 @@ def fit_categories(
     ]
     for group in flat_groups:
         group_datas = [data_by_subject[s] for s in group]
+        if len(group_datas) < stack and verbose:
+            # the pad trains throwaway duplicate shards for the full
+            # two-phase schedule — up to (stack-len)/stack of this
+            # chunk's FLOPs; pick --stack to divide the group size to
+            # avoid it
+            print(
+                f"[{'+'.join(group)}] padding {len(group_datas)}-category "
+                f"chunk to stack={stack} with duplicates "
+                f"({stack - len(group_datas)}/{stack} of this chunk's "
+                "compute is discarded)"
+            )
         while len(group_datas) < stack:  # pad the last group
             group_datas.append(group_datas[-1])
         data = stack_category_data(group_datas, mesh)
+        val_data = stack_category_data(group_datas, mesh, split="val")
         # same epoch arithmetic as the single-category Trainer
         # (duplicate-to-≥min_len then drop_last, datasets.py:447-457),
         # on the group's common (truncated-to-min) image count
@@ -306,12 +422,50 @@ def fit_categories(
         steps_per_epoch = _epoch_steps(
             n_common, cfg.data.min_dataset_length, cfg.data.batch_size
         )
+        val_steps = max(
+            _epoch_steps(
+                int(val_data.images.shape[1]), cfg.data.min_dataset_length,
+                cfg.data.batch_size,
+            ),
+            1,
+        )
+        if cfg.optim.val_batches is not None:
+            val_steps = min(val_steps, cfg.optim.val_batches)
         # all subjects in a group share static spec flags by construction
         spec = SynthSpec(
             subject=group[0], imsize=cfg.data.imsize,
             patch_localization=cfg.data.patch_localization,
             patch_size=cfg.data.patch_size, aug=cfg.aug,
         )
+        eval_fn = make_multi_category_eval(cfg, spec, mesh)
+        ckpt_every = cfg.optim.checkpoint_every_n_epochs
+        histories = {s: {} for s in group}
+        best = {s: {"loss": float("inf"), "params": None, "stats": None}
+                for s in group}
+
+        model_sharding = NamedSharding(mesh, P("model"))
+        replicated = NamedSharding(mesh, P())
+
+        resume = None
+        snap_path = None
+        if resume_dir is not None:
+            snap_path = _group_snapshot_path(resume_dir, group)
+            if snap_path.exists():
+                import pickle
+
+                with open(snap_path, "rb") as f:
+                    resume = pickle.load(f)
+                histories = resume["histories"]
+                best = resume["best"]
+
+        make_keys = dist.make_stacked_keys(stack, mesh)
+
+        def restore_state(snap):
+            s = StackedState(*snap["state"])
+            shardings = jax.tree_util.tree_map(lambda _: model_sharding, s)
+            shardings = shardings._replace(step=replicated)
+            state = dist.put_global_tree(s, shardings)
+            return state, jax.random.wrap_key_data(jnp.asarray(snap["rng"]))
 
         for stage, epochs in (
             ("projection", cfg.optim.projection_epochs),
@@ -321,43 +475,102 @@ def fit_categories(
                 cfg, spec, mesh, stage=stage, steps_per_epoch=steps_per_epoch,
                 stack_size=stack,
             )
+            start_epoch = 0
             if stage == "projection":
-                state = init_fn(jax.random.key(seed))
+                if resume is not None and resume["stage"] == "fine_tune":
+                    continue  # snapshot is past this stage entirely
+                if resume is not None:
+                    state, rng = restore_state(resume)
+                    start_epoch = resume["epoch"]
+                    resume = None
+                else:
+                    state = init_fn(jax.random.key(seed))
+                    rng = jax.random.key(seed + 1)
             else:
-                # carry parameters + BN stats; fresh optimizer and bank
-                # (tools.py:273-281) — no full re-init needed
-                _, _, tx_ft, _bank0 = _fresh_opt_and_bank(
-                    cfg, mesh, state, stage, steps_per_epoch
-                )
-                state = state._replace(opt_state=tx_ft, bank=_bank0)
+                if resume is not None:  # resume["stage"] == "fine_tune"
+                    state, rng = restore_state(resume)
+                    start_epoch = resume["epoch"]
+                    resume = None
+                else:
+                    # carry parameters + BN stats; fresh optimizer and
+                    # bank (tools.py:273-281) — no full re-init needed
+                    _, _, tx_ft, _bank0 = _fresh_opt_and_bank(
+                        cfg, mesh, state, stage, steps_per_epoch
+                    )
+                    state = state._replace(opt_state=tx_ft, bank=_bank0)
+                    rng = jax.random.key(seed + 2)
             import time as _time
 
-            rng = jax.random.key(seed + (1 if stage == "projection" else 2))
-            model_sharding = NamedSharding(mesh, P("model"))
-            for epoch in range(epochs):
+            for epoch in range(start_epoch, epochs):
                 fill = jnp.asarray(epoch > epochs // 2)
+                metrics_steps = []
                 t_epoch = _time.perf_counter()
                 for _ in range(steps_per_epoch):
                     rng, k = jax.random.split(rng)
-                    keys = jax.device_put(
-                        jax.random.split(k, stack), model_sharding
-                    )
-                    state, metrics = step_fn(state, keys, data, fill)
-                m = np.asarray(metrics)  # forces sync
+                    state, metrics = step_fn(state, make_keys(k), data, fill)
+                    metrics_steps.append(metrics)
+                m = dist.to_host(jnp.mean(jnp.stack(metrics_steps), 0))  # sync
                 dt = _time.perf_counter() - t_epoch
                 ips = stack * steps_per_epoch * cfg.data.batch_size / max(dt, 1e-9)
+
+                # stacked validation pass, every epoch (tools.py:301)
+                val_ms = []
+                for _ in range(val_steps):
+                    rng, k = jax.random.split(rng)
+                    val_ms.append(
+                        eval_fn(state.params, state.batch_stats, make_keys(k),
+                                val_data)
+                    )
+                vm = dist.to_host(jnp.mean(jnp.stack(val_ms), 0))  # (C, 2)
+
+                for i, subject in enumerate(group):
+                    h = histories[subject]
+                    h.setdefault(f"{stage}_train_loss", []).append(float(m[i, 0]))
+                    h.setdefault(f"{stage}_train_accuracy", []).append(float(m[i, 1]))
+                    h.setdefault(f"{stage}_val_loss", []).append(float(vm[i, 0]))
+                    h.setdefault(f"{stage}_val_accuracy", []).append(float(vm[i, 1]))
+                    h.setdefault(f"{stage}_images_per_sec", []).append(ips / stack)
+
+                # best-val snapshot cadence (fine-tune, tools.py:284-290)
+                if stage == "fine_tune" and (epoch + 1) % ckpt_every == 0:
+                    improved = [
+                        i for i, s in enumerate(group)
+                        if float(vm[i, 0]) < best[s]["loss"]
+                    ]
+                    if improved:
+                        # one host gather for all improving categories
+                        # (per-category slicing of a global array would
+                        # not be addressable under multi-process)
+                        p_host = dist.to_host(state.params)
+                        s_host = dist.to_host(state.batch_stats)
+                        for i in improved:
+                            best[group[i]] = {
+                                "loss": float(vm[i, 0]),
+                                "params": jax.tree_util.tree_map(
+                                    lambda a: a[i], p_host
+                                ),
+                                "stats": jax.tree_util.tree_map(
+                                    lambda a: a[i], s_host
+                                ),
+                            }
                 if verbose:
                     print(
                         f"[{'+'.join(group)}/{stage}] epoch {epoch + 1}/{epochs} "
                         f"loss {np.round(m[:, 0], 3).tolist()} "
+                        f"val_loss {np.round(vm[:, 0], 3).tolist()} "
                         f"({ips:,.0f} img/s across {stack} categories)"
                     )
+                if snap_path is not None:
+                    _save_group_snapshot(
+                        snap_path, stage, epoch + 1, state, rng, histories, best
+                    )
 
-        # unstack per category
-        host = jax.tree_util.tree_map(lambda a: np.asarray(a), state)
+        # unstack per category (multi-process: gathers every process's
+        # category shards so each controller holds all results)
+        host = dist.to_host(state)
         for i, subject in enumerate(group):
             take = lambda t: jax.tree_util.tree_map(lambda a: a[i], t)
-            results[subject] = (
+            results[subject] = CategoryFitResult(
                 take(host.params),
                 take(host.batch_stats),
                 MemoryBank(
@@ -365,28 +578,42 @@ def fit_categories(
                     cursor=host.bank.cursor[i],
                     count=host.bank.count[i],
                 ),
+                histories[subject],
+                best[subject]["params"],
+                best[subject]["stats"],
+                best[subject]["loss"],
             )
     return results
 
 
-def stack_category_data(datas, mesh: Mesh) -> CategoryData:
+def stack_category_data(datas, mesh: Mesh, split: str = "train") -> CategoryData:
     """Stack per-category PretextData onto the device mesh.
 
     Image counts are equalized to the minimum N across categories
     (sampling is with replacement, so truncation only reduces variety).
+    split='val' stacks the held-out val images (falling back to the
+    train split for categories whose val split is empty).
     """
-    n = min(d.train_images.shape[0] for d in datas)
-    images = np.stack([d.train_images[:n] for d in datas])
+    if split == "train":
+        per_cat = [d.train_images for d in datas]
+    else:
+        per_cat = [
+            d.val_images if len(d.val_images) else d.train_images for d in datas
+        ]
+    n = min(imgs.shape[0] for imgs in per_cat)
+    images = np.stack([imgs[:n] for imgs in per_cat])
     masks = np.stack([d.fixed_mask for d in datas])
     coords = np.stack([d.fixed_coords for d in datas])
     counts = np.asarray([d.fixed_count for d in datas], np.int32)
     pool = datas[0].cut_pool
     model_sharding = NamedSharding(mesh, P("model"))
     repl = NamedSharding(mesh, P())
+    # put_global: works when the mesh spans processes (each controller
+    # materialises only its addressable category shards)
     return CategoryData(
-        images=jax.device_put(jnp.asarray(images), model_sharding),
-        cut_pool=jax.device_put(jnp.asarray(pool), repl),
-        masks=jax.device_put(jnp.asarray(masks), model_sharding),
-        coords=jax.device_put(jnp.asarray(coords), model_sharding),
-        counts=jax.device_put(jnp.asarray(counts), model_sharding),
+        images=dist.put_global(images, model_sharding),
+        cut_pool=dist.put_global(np.asarray(pool), repl),
+        masks=dist.put_global(masks, model_sharding),
+        coords=dist.put_global(coords, model_sharding),
+        counts=dist.put_global(counts, model_sharding),
     )

@@ -1,0 +1,115 @@
+"""Multi-process (multi-host / multi-slice) support.
+
+The reference is strictly single-process (`devices=1` everywhere,
+tools.py:266); this module is the DCN story SURVEY §5.8/§7-stage-7
+scopes: several controller processes — one per host/slice — build ONE
+global ('model', 'data') mesh, and the same global-view stacked step
+(category_parallel.make_multi_category_step) runs unchanged, with XLA
+routing the per-category gradient reductions over the 'data' axis
+(ICI within a slice) while the embarrassingly-parallel 'model' axis
+spans slices over DCN.
+
+Multi-controller JAX rules this encodes (scaling-book recipe):
+  * every process executes the SAME program on the SAME global values;
+  * host data enters global arrays via `jax.make_array_from_callback`
+    (each process materialises only its addressable shards) — a plain
+    `jax.device_put` of a process-local array onto a global sharding
+    raises;
+  * results come back via `multihost_utils.process_allgather`.
+
+Validated by tests/test_multiprocess.py: two coordinated CPU processes
+with 4 virtual devices each build the global 2×4 mesh and reproduce the
+single-process 8-device step bit-for-bit (Gloo collectives).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+
+def initialize(
+    coordinator_address: str,
+    num_processes: int,
+    process_id: int,
+    local_cpu_devices: Optional[int] = None,
+) -> None:
+    """`jax.distributed.initialize` wrapper.
+
+    local_cpu_devices: provision N virtual CPU devices in this process
+    first (test/dev rigs; real TPU hosts discover their local chips).
+    Must run before the backend is first used.
+    """
+    if local_cpu_devices is not None:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", local_cpu_devices)
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def is_multiprocess() -> bool:
+    return jax.process_count() > 1
+
+
+def put_global(x, sharding) -> jax.Array:
+    """Place identical-on-every-process host data onto a (possibly
+    non-fully-addressable) global sharding.
+
+    Single-process this is exactly `jax.device_put`; multi-process it
+    uses `make_array_from_callback`, each process materialising only its
+    addressable shards.  Every process MUST pass the same `x` — the
+    standard replicated-host-input contract of multi-controller JAX.
+    """
+    if not is_multiprocess():
+        return jax.device_put(x, sharding)
+    arr = np.asarray(x)
+    return jax.make_array_from_callback(arr.shape, sharding, lambda idx: arr[idx])
+
+
+def put_global_tree(tree, shardings) -> Any:
+    """`put_global` over a pytree (shardings: matching tree or a single
+    sharding applied to every leaf)."""
+    if isinstance(shardings, jax.sharding.Sharding):
+        return jax.tree_util.tree_map(lambda x: put_global(x, shardings), tree)
+    return jax.tree_util.tree_map(put_global, tree, shardings)
+
+
+def to_host(tree) -> Any:
+    """Fetch (possibly non-fully-addressable) global arrays back to host
+    numpy on EVERY process.  Single-process: plain np.asarray."""
+    if not is_multiprocess():
+        return jax.tree_util.tree_map(np.asarray, tree)
+    from jax.experimental import multihost_utils
+
+    return jax.tree_util.tree_map(
+        np.asarray, multihost_utils.process_allgather(tree, tiled=True)
+    )
+
+
+def make_stacked_keys(stack: int, mesh) -> Any:
+    """jit-compiled (key → (stack,) keys sharded over 'model') splitter.
+
+    Key generation must happen INSIDE jit with explicit out_shardings:
+    splitting on host would produce a process-local array that cannot be
+    device_put onto the global mesh.  The raw uint32 key data rides in
+    as a replicated host input (identical on all processes).
+    """
+    import functools
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    model_sharding = NamedSharding(mesh, P("model"))
+
+    @functools.partial(jax.jit, out_shardings=model_sharding)
+    def split(key_data):
+        return jax.random.split(jax.random.wrap_key_data(key_data), stack)
+
+    def make(key) -> jax.Array:
+        return split(np.asarray(jax.random.key_data(key)))
+
+    return make

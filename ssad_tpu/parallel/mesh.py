@@ -44,6 +44,18 @@ def make_mesh(
     return Mesh(use, ("model", "data"))
 
 
+def mesh_from_config(mesh_cfg, devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Build the ('model', 'data') mesh a MeshConfig describes.
+
+    ``model_axis`` is the number of category shards; ``data_axis`` is
+    the data-parallel extent (-1 = all remaining devices).  This is the
+    single translation point from the serialized config to a live mesh —
+    checkpointed configs rebuild the exact mesh a run used.
+    """
+    n_data = None if mesh_cfg.data_axis in (-1, None) else mesh_cfg.data_axis
+    return make_mesh(n_model=mesh_cfg.model_axis, n_data=n_data, devices=devices)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Per-category batch: leading axis over 'data'."""
     return NamedSharding(mesh, P("data"))

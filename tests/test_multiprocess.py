@@ -1,0 +1,83 @@
+"""Multi-process (DCN-analog) validation: two coordinated controller
+processes build ONE global 2×4 mesh and run the stacked category step.
+
+This is the evidence behind the 'model'-axis-is-DCN-safe claim: the
+global-view program (stack_category_data → make_multi_category_step)
+must compose across process boundaries — device ordering, host-data
+placement onto non-addressable shards, cross-process collectives, and
+host gathers — and reproduce the single-process 8-device result.
+
+Runs real subprocesses (jax.distributed needs one backend per process,
+which the test process cannot provide twice), so it is the slowest test
+in the suite; each worker compiles the full stacked ResNet step.
+"""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+WORKER = Path(__file__).parent / "_mp_worker.py"
+REPO = Path(__file__).parent.parent
+
+
+def _run_worker(proc_id, n_proc, port, out, env):
+    return [sys.executable, str(WORKER), str(proc_id), str(n_proc), str(port),
+            str(out)]
+
+
+@pytest.mark.slow
+class TestMultiProcess:
+    def test_two_process_step_matches_single_process(self, tmp_path):
+        env = {**os.environ}
+        # the workers choose their own platform/device flags
+        env.pop("XLA_FLAGS", None)
+        env.pop("JAX_PLATFORMS", None)
+        env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+
+        # single-process 8-device reference
+        ref_out = tmp_path / "ref.json"
+        r = subprocess.run(
+            _run_worker(0, 1, 0, ref_out, env), env=env, cwd=REPO,
+            capture_output=True, text=True, timeout=1200,
+        )
+        assert r.returncode == 0, r.stdout + r.stderr
+
+        # two processes × 4 devices, shared coordinator
+        port = 29300 + os.getpid() % 500
+        mp_out = tmp_path / "mp.json"
+        p1 = subprocess.Popen(
+            _run_worker(1, 2, port, tmp_path / "unused.json", env), env=env,
+            cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+        try:
+            p0 = subprocess.run(
+                _run_worker(0, 2, port, mp_out, env), env=env, cwd=REPO,
+                capture_output=True, text=True, timeout=1200,
+            )
+            out1, _ = p1.communicate(timeout=120)
+        finally:
+            if p1.poll() is None:
+                p1.kill()
+        assert p0.returncode == 0, p0.stdout + p0.stderr
+        assert p1.returncode == 0, out1
+
+        ref = json.loads(ref_out.read_text())
+        mp = json.loads(mp_out.read_text())
+        assert ref["processes"] == 1 and mp["processes"] == 2
+        # same global program, same data, same keys → same step result;
+        # cross-process (Gloo) vs in-process collectives may reduce in a
+        # different order, so allow float32 reduction-order slack
+        np.testing.assert_allclose(
+            np.asarray(mp["metrics"]), np.asarray(ref["metrics"]),
+            rtol=1e-4, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(mp["kernel"]), np.asarray(ref["kernel"]),
+            rtol=1e-4, atol=1e-5,
+        )

@@ -131,6 +131,79 @@ class TestFitCategories:
 
 
 @pytest.mark.slow
+class TestFitCategoriesTrainingParity:
+    """The stacked trainer must carry the single-category Trainer's
+    training-quality semantics: per-epoch val pass, loss/accuracy
+    histories, best-val tracking, and epoch-granular kill-resume."""
+
+    def _cfg(self):
+        return TrainConfig(
+            data=DataConfig(imsize=(64, 64), batch_size=8, min_dataset_length=16),
+            model=ModelConfig(memory_bank_size=32, compute_dtype="float32"),
+            optim=OptimConfig(
+                projection_epochs=1, fine_tune_epochs=2,
+                checkpoint_every_n_epochs=1, val_batches=1,
+            ),
+        )
+
+    def test_history_best_and_kill_resume(self, fake_mvtec, tmp_path, monkeypatch):
+        from ssad_tpu.data import mvtec
+        from ssad_tpu.parallel import category_parallel as cp
+
+        cfg = self._cfg()
+        mesh = mesh_mod.make_mesh(n_model=1)
+        datas = [mvtec.prepare_pretext_data(fake_mvtec, "bottle", imsize=(64, 64))]
+
+        # baseline: uninterrupted run records full histories + best
+        base = cp.fit_categories(cfg, ["bottle"], datas, mesh, verbose=False)[
+            "bottle"
+        ]
+        h = base.history
+        for key, n in (
+            ("projection_train_loss", 1), ("projection_val_loss", 1),
+            ("fine_tune_train_loss", 2), ("fine_tune_train_accuracy", 2),
+            ("fine_tune_val_loss", 2), ("fine_tune_val_accuracy", 2),
+        ):
+            assert len(h[key]) == n, key
+        assert base.best_params is not None
+        assert np.isfinite(base.best_val_loss)
+
+        # kill right after the first fine-tune epoch's snapshot lands
+        resume_dir = str(tmp_path / "resume")
+        real_save = cp._save_group_snapshot
+
+        class Kill(RuntimeError):
+            pass
+
+        def killing_save(path, stage, epoch, *a, **kw):
+            real_save(path, stage, epoch, *a, **kw)
+            if stage == "fine_tune" and epoch == 1:
+                raise Kill()
+
+        monkeypatch.setattr(cp, "_save_group_snapshot", killing_save)
+        with pytest.raises(Kill):
+            cp.fit_categories(cfg, ["bottle"], datas, mesh, verbose=False,
+                              resume_dir=resume_dir)
+        monkeypatch.setattr(cp, "_save_group_snapshot", real_save)
+
+        resumed = cp.fit_categories(cfg, ["bottle"], datas, mesh, verbose=False,
+                                    resume_dir=resume_dir)["bottle"]
+        # the snapshot captured the FULL state (params, opt, bank, rng,
+        # histories, best) → the resumed run equals the uninterrupted one
+        for a, b in zip(jax.tree_util.tree_leaves(base.params),
+                        jax.tree_util.tree_leaves(resumed.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+        np.testing.assert_allclose(
+            resumed.history["fine_tune_train_loss"],
+            h["fine_tune_train_loss"], atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(resumed.bank.data), np.asarray(base.bank.data), atol=1e-6
+        )
+        assert resumed.best_val_loss == pytest.approx(base.best_val_loss, abs=1e-6)
+
+
+@pytest.mark.slow
 class TestStackedSingleEquivalence:
     """Stacked n_model=1 and the single-category Trainer are the same
     math: identical params + key -> identical batch, loss and update."""
