@@ -68,21 +68,22 @@ def cmd_train(args) -> int:
         # over a (1, N) mesh; XLA all-reduces the gradients over ICI
         import jax
 
-        from ssad_tpu.parallel.mesh import make_mesh
+        from ssad_tpu.parallel.mesh import mesh_from_config
 
         if args.data_shards > len(jax.devices()):
             raise SystemExit(
                 f"--data-shards {args.data_shards} > {len(jax.devices())} "
                 "available devices"
             )
-        mesh = make_mesh(n_model=1, devices=jax.devices()[: args.data_shards])
+        mesh = mesh_from_config(cfg.mesh)
     data = mvtec.prepare_pretext_data(
         cfg.data.dataset_dir, cfg.data.subject, imsize=cfg.data.imsize,
         val_fraction=cfg.data.train_val_split, seed=cfg.data.seed,
         patch_localization=cfg.data.patch_localization,
     )
     result = Trainer(cfg, data, mesh=mesh).fit(
-        seed=cfg.seed, verbose=not args.quiet
+        seed=cfg.seed, verbose=not args.quiet,
+        resume_dir=getattr(args, "resume_dir", None),
     )
     out = Path(args.outputs_dir) / args.subject
     path = ckpt.save_checkpoint(out, result.params, result.batch_stats, result.bank, cfg)
@@ -121,7 +122,7 @@ def cmd_train_multi(args) -> int:
 
     from ssad_tpu.data import mvtec
     from ssad_tpu.parallel.category_parallel import fit_categories
-    from ssad_tpu.parallel.mesh import make_mesh
+    from ssad_tpu.parallel.mesh import mesh_from_config
     from ssad_tpu.train import checkpoint as ckpt
 
     subjects = _subjects(args)
@@ -140,8 +141,9 @@ def cmd_train_multi(args) -> int:
     cfg = _train_cfg(
         argparse.Namespace(**{**vars(args), "subject": subjects[0]}), n_model=n_model
     )
-    # the saved config records the mesh the run actually used
-    mesh = make_mesh(n_model=cfg.mesh.model_axis)
+    # the saved config records the mesh the run actually used;
+    # mesh_from_config is the one translation point (config ↔ mesh)
+    mesh = mesh_from_config(cfg.mesh)
     datas = [
         mvtec.prepare_pretext_data(
             args.dataset_dir, s, imsize=cfg.data.imsize, seed=args.seed
@@ -149,10 +151,27 @@ def cmd_train_multi(args) -> int:
         for s in subjects
     ]
     results = fit_categories(cfg, subjects, datas, mesh, seed=args.seed,
-                             verbose=not args.quiet, stack_size=args.stack)
-    for subject, (params, stats, bank) in results.items():
-        path = ckpt.save_checkpoint(
-            Path(args.outputs_dir) / subject, params, stats, bank, cfg
+                             verbose=not args.quiet, stack_size=args.stack,
+                             resume_dir=args.resume_dir)
+    from ssad_tpu.evaluation import visualization as vis
+
+    for subject, r in results.items():
+        out = Path(args.outputs_dir) / subject
+        path = ckpt.save_checkpoint(out, r.params, r.batch_stats, r.bank, cfg)
+        # identical per-category artifacts to `train`: best-val-loss
+        # snapshot + loss/accuracy history plots
+        if r.best_params is not None:
+            ckpt.save_checkpoint(
+                out / "logs", r.best_params, r.best_batch_stats, None, cfg,
+                name="best_model_so_far",
+            )
+        vis.plot_history(
+            {k: v for k, v in r.history.items() if k.startswith("projection")},
+            out, mode="training",
+        )
+        vis.plot_history(
+            {k: v for k, v in r.history.items() if k.startswith("fine_tune")},
+            out, mode="fine_tune",
         )
         print(f"{subject}: {path}")
     return 0
@@ -168,6 +187,7 @@ def cmd_evaluate(args) -> int:
         imsize=(args.imsize, args.imsize),
         batch_size=args.batch_size,
         seed=args.seed,
+        scorer=args.scorer,
     )
     results = evaluate_categories(
         args.dataset_dir, args.models_dir, _subjects(args), cfg, args.outputs_dir
@@ -281,7 +301,9 @@ def cmd_infer(args) -> int:
     else:
         test = mvtec.prepare_mvtec_test_data(args.dataset_dir, args.subject, imsize=imsize)
         outputs = inf.predict_mvtec(
-            engine, test, batch_size=args.batch_size if not patch else 8,
+            engine, test,
+            # patch mode embeds 841 patches/image — cap like the evaluator
+            batch_size=args.batch_size if not patch else max(1, min(8, args.batch_size)),
             patch_localization=patch, patch_dim=args.patch_dim, stride=args.stride,
         )
     normality = inf.normality_embeddings(
@@ -299,7 +321,8 @@ def cmd_infer(args) -> int:
         n_img = outputs.embeddings.shape[0] // ppi
     outputs, detector = inf.attach_anomaly_scores(
         outputs, normality, patch_localization=patch, num_images=n_img,
-        patches_per_image=ppi, k=3, seed=args.seed,
+        patches_per_image=ppi, k=args.knn_k, seed=args.seed,
+        scorer=args.scorer,
     )
     maps = outputs.anomaly_maps
     if patch:
@@ -431,6 +454,9 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--data-shards", type=int, default=None,
                    help="shard the batch over the first N devices "
                         "(single-category data parallelism)")
+    t.add_argument("--resume-dir", default=None,
+                   help="write epoch-granular resume snapshots here and "
+                        "continue from an existing one")
     t.add_argument("--quiet", action="store_true")
     t.set_defaults(fn=cmd_train)
 
@@ -465,12 +491,18 @@ def build_parser() -> argparse.ArgumentParser:
     tm.add_argument("--backbone", default="resnet18",
                     choices=["resnet18", "wide_resnet50_2"])
     tm.add_argument("--pretrained-backbone", default=None)
+    tm.add_argument("--resume-dir", default=None,
+                    help="write per-group epoch-granular resume snapshots "
+                         "here and continue from existing ones")
     tm.add_argument("--quiet", action="store_true")
     tm.set_defaults(fn=cmd_train_multi)
 
     e = sub.add_parser("evaluate", help="evaluate trained categories")
     common(e, models=True)
     e.add_argument("--subjects", default="all")
+    e.add_argument("--scorer", default="knn", choices=["knn", "mahalanobis"],
+                   help="anomaly scorer: the reference's k-NN cosine "
+                        "detector or the parametric Gaussian alternative")
     e.set_defaults(fn=cmd_evaluate)
 
     inf_p = sub.add_parser(
@@ -482,6 +514,10 @@ def build_parser() -> argparse.ArgumentParser:
                        help="score synthetic pretext data instead of the "
                             "MVTec test set (mvtec_inference=False)")
     inf_p.add_argument("--num-samples", type=int, default=256)
+    inf_p.add_argument("--knn-k", type=int, default=EvalConfig().knn_k,
+                       help="k-NN neighbors for anomaly scoring "
+                            "(models.py:354; keep in lockstep with evaluate)")
+    inf_p.add_argument("--scorer", default="knn", choices=["knn", "mahalanobis"])
     inf_p.set_defaults(fn=cmd_infer)
 
     pr = sub.add_parser(

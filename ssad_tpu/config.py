@@ -98,17 +98,23 @@ class ModelConfig:
     latent_dim: int = 512  # models.py:28 (+ last_dim override :137)
     num_classes: int = 4  # models.py:29
     memory_bank_size: int = 1000  # models.py:30
-    #: rows of the batch considered for memory-bank fill per step.  The
-    #: fill needs a second, eval-mode forward of the clean originals
-    #: (see trainer.bank_fill_embeddings); embedding the whole batch
-    #: costs ~⅓ extra step time while only ~¼ of rows pass the
-    #: y==0∧ŷ==0 acceptance mask anyway.  Rows are iid, so embedding a
-    #: fixed prefix leaves the bank's content distribution unchanged and
-    #: it still fills well within the fill phase.  None = all rows (the
-    #: reference embeds every accepted row, models.py:270-275).
-    bank_fill_rows: Optional[int] = 32
+    #: rows of the batch considered for memory-bank fill per step.
+    #: None (default) = all rows, the reference behavior (it embeds
+    #: every accepted y==0∧ŷ==0 row, models.py:270-275).  The fill needs
+    #: a second, eval-mode forward of the clean originals (see
+    #: trainer.bank_fill_embeddings), so embedding the whole batch costs
+    #: ~⅓ extra step time during the fill phase; setting e.g. 32 embeds
+    #: only an iid prefix (same bank content distribution, ~⅓ the fill
+    #: rate) — safe for the default 30-epoch schedule, where ~150 fill
+    #: steps × ~8 accepted rows still overfill the 1000-row bank, but
+    #: short runs (parity smoke configs) would end half-full.
+    bank_fill_rows: Optional[int] = None
     #: parameter/compute dtype for the backbone on TPU
     compute_dtype: str = "bfloat16"
+    #: space-to-depth stem: 2×2 blocks fold conv1's stride into the
+    #: layout — exact 7×7/s2 equivalence with a denser input channel
+    #: dim (3→12) for the MXU (resnet.StemConv; measured A/B in bench)
+    stem_s2d: bool = False
     #: optional path to a torchvision resnet18 IMAGENET1K_V1 state_dict;
     #: when None the backbone is He-initialized (the reference always
     #: starts from ImageNet weights, models.py:59)
@@ -139,10 +145,12 @@ class MeshConfig:
 
     The framework trains C independent per-category models as one
     stacked, vmapped program sharded over the 'model' mesh axis, with
-    batch data-parallelism over the 'data' axis.
+    batch data-parallelism over the 'data' axis.  Live meshes are built
+    from this config via ``parallel.mesh.mesh_from_config`` — a config
+    loaded from a checkpoint rebuilds the exact mesh its run used.
     """
 
-    data_axis: int = -1  # -1: all remaining devices
+    data_axis: int = -1  # data-parallel extent; -1: all remaining devices
     model_axis: int = 1  # number of category shards
 
 
@@ -205,6 +213,10 @@ class EvalConfig:
     upsample_size: int = 256
     aupro_fpr_limit: float = 0.3  # evaluator.py / tools.py:118
     knn_k: int = 3  # models.py:354
+    #: anomaly scorer: 'knn' (the reference's k-NN cosine detector,
+    #: models.py:345-370) or 'mahalanobis' (parametric Gaussian
+    #: alternative, models/detector.py:MahalanobisDetector)
+    scorer: str = "knn"
     imsize: Tuple[int, int] = (256, 256)
     batch_size: int = 32
     seed: int = 0

@@ -157,7 +157,10 @@ def evaluate_artificial(outputs: ModelOutputs) -> ArtificialScores:
         f1 = 2 * prec * rec / max(prec + rec, 1e-12)
         name = PRETEXT_CLASS_NAMES[c] if c < len(PRETEXT_CLASS_NAMES) else str(c)
         per_class[name] = (prec, rec, f1, support)
-        if support:
+        # sklearn macro-F1 averages over the union of true and predicted
+        # labels: a class absent from y_true but predicted contributes
+        # f1=0 (the reference prints sklearn's classification_report)
+        if support or tp + fp > 0:
             f1s.append(f1)
     probs = np.exp(logits - logits.max(axis=1, keepdims=True))
     probs /= probs.sum(axis=1, keepdims=True)
@@ -213,6 +216,13 @@ class CategoryResult:
     image_roc: Optional[Tuple[np.ndarray, np.ndarray]] = None
     pixel_roc: Optional[Tuple[np.ndarray, np.ndarray]] = None
     pro_curve: Optional[Tuple[np.ndarray, np.ndarray]] = None
+    #: image-mode pixel metrics scored on Grad-CAM saliency maps
+    #: (reference evaluator.py:271-284 computes the maps in image mode;
+    #: its committed image_level outputs include pixel_roc/pro per
+    #: category — the metric hookup, bit-rotted in the reference, is
+    #: restored here)
+    gradcam_pixel_auroc: Optional[float] = None
+    gradcam_aupro: Optional[float] = None
 
 
 def evaluate_category(
@@ -236,7 +246,7 @@ def evaluate_category(
             engine, bank, data, batch_size=cfg.batch_size
         )
         outputs, detector = inf.attach_anomaly_scores(
-            outputs, normality, k=cfg.knn_k, seed=cfg.seed
+            outputs, normality, k=cfg.knn_k, seed=cfg.seed, scorer=cfg.scorer
         )
         labels = np.asarray(outputs.y_true_binary)
         scores = np.asarray(outputs.anomaly_maps)
@@ -260,6 +270,16 @@ def evaluate_category(
                 (Path(outputs_dir) / f"{subject}_artificial_report.txt").write_text(
                     result.artificial.classification_report() + "\n"
                 )
+                # misclassified-artificial panels (reference ErrorAnalyzer
+                # tools.py:150-200; its committed outputs contain
+                # <subject>_errors.png but the driver wiring is lost —
+                # restored here)
+                from ssad_tpu.evaluation.error_analysis import ErrorAnalyzer
+
+                ErrorAnalyzer(art).analyze(
+                    output_path=str(Path(outputs_dir) / f"{subject}_errors.png"),
+                    seed=cfg.seed,
+                )
                 vis.plot_tsne(
                     np.concatenate([np.asarray(art.embeddings), np.asarray(outputs.embeddings)]),
                     np.concatenate([
@@ -269,14 +289,48 @@ def evaluate_category(
                     outputs_dir, f"{subject.upper()} feature visualization",
                     f"{subject}_tsne.png",
                 )
+        # Grad-CAM anomaly maps for EVERY test image (zero map where the
+        # classifier predicts 'good'), scored at pixel level — reference
+        # evaluator.py:262-284 computes exactly these in image mode and
+        # its committed image_level outputs carry pixel_roc/pro per
+        # category; the (bit-rotted) metric hookup is restored here.
+        from ssad_tpu.models.gradcam import make_gradcam_fn
+
+        gradcam = make_gradcam_fn(engine.model, engine.params, engine.batch_stats)
+        y_hat = np.asarray(outputs.y_hat)
+        n_test = outputs.tensor_data.shape[0]
+        bs = max(1, min(8, cfg.batch_size))
+        cam_list = []
+        for lo in range(0, n_test, bs):
+            x = jnp.asarray(outputs.tensor_data[lo : lo + bs])
+            cam_list.append(gradcam(x, jnp.asarray(y_hat[lo : lo + bs])))
+        cam_maps = np.concatenate([np.asarray(c) for c in cam_list], axis=0)
+        gts = np.asarray(outputs.ground_truths)
+        flat_gt = gts.ravel() > 0
+        flat_scores = np.nan_to_num(cam_maps.ravel())
+        if flat_gt.any() and not flat_gt.all():
+            fpr_px, tpr_px, _ = M.roc_curve(flat_gt, flat_scores)
+            result.gradcam_pixel_auroc = M.auc(fpr_px, tpr_px)
+            fprs_pro, pros = M.compute_pro(cam_maps, gts)
+            result.gradcam_aupro = M.compute_aupro(fprs_pro, pros, cfg.aupro_fpr_limit)
+
         if outputs_dir:
             from ssad_tpu.evaluation import visualization as vis
 
             vis.plot_curve(fpr, tpr, result.image_auroc, outputs_dir,
                            f"Roc curve for {subject.upper()}", f"{subject}_image_roc.png")
-            # Grad-CAM saliency for predicted-defect test images
-            # (reference renders these during image-level evaluation,
-            # evaluator.py:271-284; they feed no metric)
+            if result.gradcam_pixel_auroc is not None:
+                vis.plot_curve(
+                    fpr_px, tpr_px, result.gradcam_pixel_auroc, outputs_dir,
+                    f"Roc curve for {subject.upper()}",
+                    f"{subject}_pixel_roc.png",
+                )
+                vis.plot_curve(
+                    fprs_pro, pros, result.gradcam_aupro, outputs_dir,
+                    f"Pro curve for {subject.upper()}", f"{subject}_pro.png",
+                )
+            # Grad-CAM overlay renders for predicted-defect test images
+            # (reference renders these during image-level evaluation)
             _render_eval_gradcams(engine, outputs, outputs_dir, subject)
     else:
         # --- patch level (evaluator.py:286-374) ---
@@ -287,7 +341,16 @@ def evaluate_category(
             max_images=n_normality_images,
             seed=cfg.seed,
         )
-        detector = AnomalyDetector(k=cfg.knn_k).fit(normality, jax.random.key(cfg.seed))
+        if cfg.scorer == "mahalanobis":
+            from ssad_tpu.models.detector import MahalanobisDetector
+
+            detector = MahalanobisDetector().fit(
+                normality, jax.random.key(cfg.seed)
+            )
+        else:
+            detector = AnomalyDetector(k=cfg.knn_k).fit(
+                normality, jax.random.key(cfg.seed)
+            )
 
         maps_list = []
         n = test_data.images.shape[0]
@@ -295,14 +358,20 @@ def evaluate_category(
         for lo in range(0, n, bs):
             raw = jnp.asarray(test_data.images[lo : lo + bs])
             x = jax.vmap(im.normalize_imagenet)(raw)
-            # fused extract→embed→kNN→blur→upsample, one program; keep
+            # fused extract→embed→score→blur→upsample, one program; keep
             # results on device so batches pipeline through the queue
-            maps_list.append(
-                engine.score_patch_maps(
+            if cfg.scorer == "mahalanobis":
+                maps = engine.score_patch_maps_mahalanobis(
+                    x, detector.mean, detector.precision,
+                    dim=cfg.patch_dim, stride=cfg.stride,
+                    upsample_to=cfg.upsample_size,
+                )
+            else:
+                maps = engine.score_patch_maps(
                     x, detector.bank, dim=cfg.patch_dim, stride=cfg.stride,
                     k=cfg.knn_k, upsample_to=cfg.upsample_size,
                 )
-            )
+            maps_list.append(maps)
         anomaly_maps = np.concatenate([np.asarray(m) for m in maps_list], axis=0)
         gts = np.asarray(test_data.ground_truths)
 

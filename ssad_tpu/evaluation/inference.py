@@ -78,6 +78,30 @@ class InferenceEngine:
                 maps = im.upsample_anomaly_maps(maps, upsample_to)
             return maps
 
+        @functools.partial(jax.jit, static_argnames=("dim", "stride", "upsample_to"))
+        def score_patches_mahalanobis(variables, x, mean, precision, dim, stride,
+                                      upsample_to):
+            # fused extract → embed → Mahalanobis → map: same one-program
+            # structure as the k-NN path, with the bank matmul replaced
+            # by one (B·P, D) × (D, D) precision matmul
+            p, inv = patches_mod.extract_patches_shuffled(
+                x.astype(jnp.bfloat16), dim=dim, stride=stride
+            )
+            b, n = p.shape[0], p.shape[1]
+            flat = p.reshape((b * n,) + p.shape[2:])
+            out = model.apply(variables, flat, train=False)
+            q = out["latent_space"].astype(jnp.float32) - mean
+            d2 = jnp.einsum(
+                "qd,de,qe->q", q, precision, q,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            scores = jnp.sqrt(jnp.maximum(d2, 0.0))
+            side = int(round(n ** 0.5))
+            maps = scores.reshape(b, n)[:, inv].reshape(b, side, side)
+            if upsample_to is not None:
+                maps = im.upsample_anomaly_maps(maps, upsample_to)
+            return maps
+
         @functools.partial(jax.jit, static_argnames=("dim", "stride"))
         def forward_patches(variables, x, dim, stride):
             # (B, H, W, 3) → (B·P, d, d, 3) → embeddings (B·P, 512),
@@ -100,6 +124,7 @@ class InferenceEngine:
         self._forward = forward
         self._forward_patches = forward_patches
         self._score_patches = score_patches
+        self._score_patches_mahalanobis = score_patches_mahalanobis
 
     def predict_batch(self, x_normalized) -> Tuple[jax.Array, jax.Array]:
         return self._forward(self._variables, jnp.asarray(x_normalized))
@@ -121,6 +146,22 @@ class InferenceEngine:
         return self._score_patches(
             self._variables, jnp.asarray(x_normalized), jnp.asarray(bank),
             dim, stride, k, upsample_to,
+        )
+
+    def score_patch_maps_mahalanobis(
+        self,
+        x_normalized,
+        mean,
+        precision,
+        dim: int = 32,
+        stride: int = 8,
+        upsample_to: Optional[int] = None,
+    ) -> jax.Array:
+        """Fused patch anomaly maps scored by Mahalanobis distance to a
+        fitted Gaussian (models/detector.py:MahalanobisDetector)."""
+        return self._score_patches_mahalanobis(
+            self._variables, jnp.asarray(x_normalized), jnp.asarray(mean),
+            jnp.asarray(precision), dim, stride, upsample_to,
         )
 
 
@@ -165,10 +206,12 @@ def predict_artificial(
     batch_size: int = 32,
     seed: int = 0,
 ) -> ModelOutputs:
-    """Forward synthetic pretext batches built from the *test-good*
-    split (reference inference with mvtec_inference=False,
-    tools.py:339-345, and predict_step's artificial branch,
-    models.py:318-320)."""
+    """Forward synthetic pretext batches built from the held-out *val*
+    split of the train-good images (falling back to the train split when
+    the val split is empty).  Matches the reference: inference with
+    mvtec_inference=False builds a PretextTaskDatamodule over the
+    train-good folder (tools.py:339-345) and predict_step's artificial
+    branch scores its batches (models.py:318-320)."""
     from ssad_tpu.data.synthetic import batched_synthesizer
 
     synth = jax.jit(batched_synthesizer(spec, per_image_masks=False))
@@ -248,15 +291,28 @@ def attach_anomaly_scores(
     patches_per_image: Optional[int] = None,
     k: int = 3,
     seed: int = 0,
-) -> Tuple[ModelOutputs, AnomalyDetector]:
-    """Fit the detector on normality and score `outputs.embeddings`
-    (tools.py:351-389)."""
-    detector = AnomalyDetector(
-        patch_level=patch_localization,
-        batch=num_images,
-        num_patches=patches_per_image,
-        k=k,
-    )
+    scorer: str = "knn",
+):
+    """Fit the selected detector on normality and score
+    `outputs.embeddings` (tools.py:351-389).  scorer: 'knn' (reference
+    detector) or 'mahalanobis' (parametric Gaussian alternative)."""
+    if scorer == "mahalanobis":
+        from ssad_tpu.models.detector import MahalanobisDetector
+
+        detector = MahalanobisDetector(
+            patch_level=patch_localization,
+            batch=num_images,
+            num_patches=patches_per_image,
+        )
+    elif scorer == "knn":
+        detector = AnomalyDetector(
+            patch_level=patch_localization,
+            batch=num_images,
+            num_patches=patches_per_image,
+            k=k,
+        )
+    else:
+        raise ValueError(f"unknown scorer {scorer!r}; valid: knn, mahalanobis")
     detector.fit(normality, jax.random.key(seed))
     outputs.anomaly_maps = detector.predict(outputs.embeddings)
     return outputs, detector

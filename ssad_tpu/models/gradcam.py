@@ -64,8 +64,11 @@ def compute_gradcam(
     alpha = jnp.mean(grads, axis=(1, 2), dtype=jnp.float32)  # (B, 512)
     sal = jax.nn.relu(jnp.sum(a4.astype(jnp.float32) * alpha[:, None, None, :], axis=-1))
     sal = jax.vmap(lambda s: resize_bilinear(s, (h, w)))(sal)
-    lo = jnp.min(sal)
-    hi = jnp.max(sal)
+    # per-SAMPLE min-max: the reference normalizes each saliency map on
+    # its own (it only ever runs batch=1, gradcam.py:40-47), so batched
+    # calls must not couple samples through a global min/max
+    lo = jnp.min(sal, axis=(1, 2), keepdims=True)
+    hi = jnp.max(sal, axis=(1, 2), keepdims=True)
     return (sal - lo) / jnp.maximum(hi - lo, 1e-12)
 
 

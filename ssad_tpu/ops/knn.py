@@ -113,17 +113,24 @@ def knn_cosine_scores_pallas(queries: jax.Array, bank: jax.Array, k: int = 3) ->
 
 _warned_fallback = False
 
+# Read once at import: the dispatch choice gets baked into jit-compiled
+# callers (e.g. the fused score_patches program) at trace time, so a
+# per-call read would silently ignore changes made after the first
+# trace.  Set the variable before importing ssad_tpu.
+import os as _os
+
+_FORCE_PALLAS = _os.environ.get("SSAD_FORCE_PALLAS") == "1"
+
 
 def knn_cosine_scores(queries: jax.Array, bank: jax.Array, k: int = 3) -> jax.Array:
     """Dispatch to the Pallas kernel on TPU, XLA elsewhere.
 
-    ``SSAD_FORCE_PALLAS=1`` makes a kernel failure fatal (so TPU tests
-    can assert the kernel path actually executes); otherwise a broken
-    kernel warns once and degrades to the XLA implementation.
+    ``SSAD_FORCE_PALLAS=1`` (read at module import — see above) makes a
+    kernel failure fatal (so TPU tests can assert the kernel path
+    actually executes); otherwise a broken kernel warns once and
+    degrades to the XLA implementation.
     """
-    import os
-
-    force = os.environ.get("SSAD_FORCE_PALLAS") == "1"
+    force = _FORCE_PALLAS
     if force or jax.default_backend() == "tpu":
         try:
             return knn_cosine_scores_pallas(queries, bank, k=k)

@@ -54,6 +54,13 @@ class TestEvaluatePipeline:
         assert r.artificial is not None and 0.0 <= r.artificial.accuracy <= 1.0
         assert (tmp_path / "bottle_image_roc.png").exists()
         assert (tmp_path / "bottle_tsne.png").exists()
+        # image-mode pixel metrics on Grad-CAM maps (reference committed
+        # image_level pixel_roc/pro artifacts; hookup restored)
+        assert r.gradcam_pixel_auroc is not None
+        assert 0.0 <= r.gradcam_pixel_auroc <= 1.0
+        assert np.isfinite(r.gradcam_aupro)
+        assert (tmp_path / "bottle_pixel_roc.png").exists()
+        assert (tmp_path / "bottle_pro.png").exists()
 
     def test_patch_level(self, fake_mvtec, trained_checkpoint, tmp_path):
         path, cfg = trained_checkpoint
@@ -71,6 +78,39 @@ class TestEvaluatePipeline:
         assert r.pixel_auroc is not None and 0.0 <= r.pixel_auroc <= 1.0
         assert r.iou is not None and r.aupro is not None
         assert (tmp_path / "bottle_pro.png").exists()
+
+    def test_image_level_mahalanobis(self, fake_mvtec, trained_checkpoint, tmp_path):
+        """--scorer mahalanobis end-to-end: the parametric Gaussian
+        detector is selectable through EvalConfig and produces a full
+        image-level result."""
+        path, _ = trained_checkpoint
+        engine, bank, _ = inf.load_engine(str(path))
+        data = mvtec.prepare_pretext_data(fake_mvtec, "bottle", imsize=(64, 64))
+        test = mvtec.prepare_mvtec_test_data(fake_mvtec, "bottle", imsize=(64, 64))
+        ecfg = config.EvalConfig(
+            imsize=(64, 64), batch_size=8, upsample_size=64, scorer="mahalanobis"
+        )
+        r = evaluate_category(
+            engine, bank, data, test, ecfg, "bottle", with_artificial=False
+        )
+        assert r.image_auroc is not None and 0.0 <= r.image_auroc <= 1.0
+        assert np.isfinite(r.image_f1)
+
+    def test_patch_level_mahalanobis(self, fake_mvtec, trained_checkpoint, tmp_path):
+        path, _ = trained_checkpoint
+        engine, bank, _ = inf.load_engine(str(path))
+        data = mvtec.prepare_pretext_data(fake_mvtec, "bottle", imsize=(64, 64))
+        test = mvtec.prepare_mvtec_test_data(fake_mvtec, "bottle", imsize=(64, 64))
+        ecfg = config.EvalConfig(
+            patch_localization=True, patch_dim=16, stride=16,
+            imsize=(64, 64), batch_size=8, upsample_size=64,
+            scorer="mahalanobis",
+        )
+        r = evaluate_category(
+            engine, bank, data, test, ecfg, "bottle", n_normality_images=2
+        )
+        assert r.pixel_auroc is not None and 0.0 <= r.pixel_auroc <= 1.0
+        assert np.isfinite(r.aupro) and np.isfinite(r.iou)
 
     def test_localizer_both_modes(self, fake_mvtec, trained_checkpoint, tmp_path):
         path, _ = trained_checkpoint

@@ -196,13 +196,16 @@ class TestKnn:
     def test_force_pallas_is_loud(self, rng, monkeypatch):
         """SSAD_FORCE_PALLAS=1 must surface kernel failures instead of
         silently degrading to XLA (the TPU-pallas kernel cannot lower on
-        the CPU backend, so the dispatch must raise here)."""
+        the CPU backend, so the dispatch must raise here).  The env var
+        is read once at module import (per-call reads would be baked
+        into jitted callers at trace time), so the test flips the
+        module-level flag it feeds."""
         bank = jnp.asarray(rng.random((16, 8), dtype=np.float32))
         q = jnp.asarray(rng.random((4, 8), dtype=np.float32))
-        monkeypatch.setenv("SSAD_FORCE_PALLAS", "1")
+        monkeypatch.setattr(knn, "_FORCE_PALLAS", True)
         with pytest.raises(Exception):
             knn.knn_cosine_scores(q, bank, k=3)
-        monkeypatch.delenv("SSAD_FORCE_PALLAS")
+        monkeypatch.setattr(knn, "_FORCE_PALLAS", False)
         out = np.asarray(knn.knn_cosine_scores(q, bank, k=3))
         ref = np.asarray(knn.knn_cosine_scores_xla(q, bank, k=3))
         np.testing.assert_allclose(out, ref, atol=1e-6)
