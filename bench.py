@@ -19,7 +19,15 @@ Prints ONE JSON line; the headline metric keeps the round-1 definition,
 extra measurements ride as additional keys:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
    "train_step_ms": N, "train_images_per_sec": N, "train_mfu": N,
-   "patch_score_ms_per_image": N, "device": ...}
+   "train_step_fill32_ms": N, "train_step_s2d_ms": N,
+   "patch_score_ms_per_image": N, "patch_score_bs16_ms_per_image": N,
+   "patch_roofline": {...}, "device": ...}
+
+The patch_roofline block is the decomposition behind any cross-device
+claim: XLA cost-analysis FLOPs + bytes, the chip's peak FLOP/s and HBM
+bandwidth, the speed-of-light time for each resource, and which one
+binds — so converting the measured number to another TPU generation is
+arithmetic on the BINDING resource, not hope.
 """
 
 import json
@@ -38,20 +46,40 @@ from ssad_tpu.data.synthetic import SynthSpec, batched_synthesizer
 
 BASELINE_IMAGES_PER_SEC = 5000.0
 
-# dense bf16 peak FLOP/s per chip by device kind (public numbers)
-_PEAK_BF16 = (
-    ("v6e", 918e12), ("v6", 918e12),
-    ("v5p", 459e12), ("v5e", 197e12), ("v5litepod", 197e12), ("v5", 197e12),
-    ("v4", 275e12), ("v3", 123e12), ("v2", 45e12),
+# dense bf16 peak FLOP/s and HBM bandwidth per chip by device kind
+# (public numbers: cloud.google.com/tpu/docs/system-architecture)
+_PEAK = (
+    ("v6e", 918e12, 1640e9), ("v6", 918e12, 1640e9),
+    ("v5p", 459e12, 2765e9), ("v5e", 197e12, 819e9),
+    ("v5litepod", 197e12, 819e9), ("v5", 197e12, 819e9),
+    ("v4", 275e12, 1228e9), ("v3", 123e12, 900e9), ("v2", 45e12, 700e9),
 )
 
 
-def _peak_flops() -> float:
+def _peak() -> tuple:
     kind = jax.devices()[0].device_kind.lower().replace(" ", "")
-    for tag, peak in _PEAK_BF16:
+    for tag, flops, bw in _PEAK:
         if tag in kind:
-            return peak
-    return 197e12  # assume v5e-class if unknown
+            return flops, bw
+    return 197e12, 819e9  # assume v5e-class if unknown
+
+
+def _peak_flops() -> float:
+    return _peak()[0]
+
+
+def _cost(compiled) -> dict:
+    """flops + bytes accessed from XLA's cost analysis (best effort)."""
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return {
+            "flops": float(cost.get("flops", 0.0)) or None,
+            "bytes": float(cost.get("bytes accessed", 0.0)) or None,
+        }
+    except Exception:
+        return {"flops": None, "bytes": None}
 
 
 def _timeit(fn, iters: int, *args, rounds: int = 4) -> float:
@@ -112,9 +140,11 @@ def bench_synthesis(rng, h, w, batch, n_images) -> float:
     return batch / dt
 
 
-def bench_train_step(rng, h, w, batch, n_images):
+def bench_train_step(rng, h, w, batch, n_images, model_cfg=None, iters=30):
     """(step_ms, images/sec, mfu) for the fused fine-tune train step
-    with the memory-bank fill phase ACTIVE (the expensive half)."""
+    with the memory-bank fill phase ACTIVE (the expensive half).
+    Default model config = the product default (bank_fill_rows=None:
+    every accepted row is embedded, the reference behavior)."""
     from ssad_tpu.config import DataConfig, ModelConfig, OptimConfig, TrainConfig
     from ssad_tpu.data.mvtec import PretextData
     from ssad_tpu.train.trainer import Trainer
@@ -131,7 +161,7 @@ def bench_train_step(rng, h, w, batch, n_images):
     )
     cfg = TrainConfig(
         data=DataConfig(imsize=(h, w), batch_size=batch, subject="bottle"),
-        model=ModelConfig(),
+        model=model_cfg or ModelConfig(),
         optim=OptimConfig(),
     )
     trainer = Trainer(cfg, data)
@@ -143,10 +173,8 @@ def bench_train_step(rng, h, w, batch, n_images):
     # FLOPs of one compiled step from XLA's cost analysis
     flops = None
     try:
-        cost = step.lower(state, jax.random.key(1), *tr, fill).compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        flops = float(cost.get("flops", 0.0)) or None
+        compiled = step.lower(state, jax.random.key(1), *tr, fill).compile()
+        flops = _cost(compiled)["flops"]
     except Exception:
         pass
 
@@ -155,7 +183,7 @@ def bench_train_step(rng, h, w, batch, n_images):
         state, metrics = step(state, key, *tr, fill)
         return metrics["loss"]
 
-    dt = _timeit(run, 30, jax.random.key(1))
+    dt = _timeit(run, iters, jax.random.key(1))
 
     mfu = None
     if flops:
@@ -163,9 +191,9 @@ def bench_train_step(rng, h, w, batch, n_images):
     return dt * 1e3, batch / dt, mfu
 
 
-def bench_patch_scoring(rng, h, w, patch_dim=32, stride=8, bank_rows=1000):
-    """ms/image for sliding-window patch scoring (embed 841 patches +
-    k-NN against the bank), batched over 8 images."""
+def bench_patch_scoring(rng, h, w, patch_dim=32, stride=8, bank_rows=1000, bs=8):
+    """(ms/image, roofline dict) for sliding-window patch scoring
+    (embed 841 patches + k-NN against the bank), batched over bs images."""
     from ssad_tpu.config import ModelConfig
     from ssad_tpu.evaluation.inference import InferenceEngine
     from ssad_tpu.models.detector import AnomalyDetector
@@ -177,7 +205,6 @@ def bench_patch_scoring(rng, h, w, patch_dim=32, stride=8, bank_rows=1000):
     bank = jnp.asarray(rng.random((bank_rows, 512), dtype=np.float32))
     det = AnomalyDetector(k=3).fit(bank, jax.random.key(0))
 
-    bs = 8
     x = jnp.asarray(rng.random((bs, h, w, 3), dtype=np.float32))
 
     def run(x):
@@ -188,11 +215,37 @@ def bench_patch_scoring(rng, h, w, patch_dim=32, stride=8, bank_rows=1000):
             x, bank, dim=patch_dim, stride=stride, k=3, upsample_to=h
         )
 
+    # roofline decomposition of the ONE compiled program: which
+    # resource (MXU FLOPs vs HBM bytes) binds, and its speed-of-light
+    # time — the basis for any cross-generation conversion
+    roofline = None
+    try:
+        compiled = engine._score_patches.lower(
+            engine._variables, x, bank, patch_dim, stride, 3, h
+        ).compile()
+        c = _cost(compiled)
+        peak_flops, peak_bw = _peak()
+        if c["flops"] and c["bytes"]:
+            t_flops = c["flops"] / peak_flops
+            t_bytes = c["bytes"] / peak_bw
+            roofline = {
+                "flops": c["flops"],
+                "bytes": c["bytes"],
+                "sol_compute_ms_per_image": round(t_flops * 1e3 / bs, 4),
+                "sol_memory_ms_per_image": round(t_bytes * 1e3 / bs, 4),
+                "bound": "memory" if t_bytes > t_flops else "compute",
+                "arithmetic_intensity": round(c["flops"] / c["bytes"], 2),
+            }
+    except Exception:
+        pass
+
     dt = _timeit(run, 20, x)
-    return dt * 1e3 / bs
+    return dt * 1e3 / bs, roofline
 
 
 def main() -> None:
+    from ssad_tpu.config import ModelConfig
+
     rng = np.random.default_rng(0)
     h = w = 256
     batch = 96
@@ -200,7 +253,17 @@ def main() -> None:
 
     images_per_sec = bench_synthesis(rng, h, w, batch, n_images)
     step_ms, train_ips, mfu = bench_train_step(rng, h, w, batch, n_images)
-    patch_ms = bench_patch_scoring(rng, h, w)
+    # A/B variants (labeled, not the headline): bank_fill_rows=32 is the
+    # round-2 throughput opt-in (≈⅓ the fill-forward work); stem_s2d is
+    # the space-to-depth conv1 experiment (exact equivalence)
+    fill32_ms, _, _ = bench_train_step(
+        rng, h, w, batch, n_images, ModelConfig(bank_fill_rows=32), iters=20
+    )
+    s2d_ms, _, _ = bench_train_step(
+        rng, h, w, batch, n_images, ModelConfig(stem_s2d=True), iters=20
+    )
+    patch_ms, roofline = bench_patch_scoring(rng, h, w)
+    patch16_ms, _ = bench_patch_scoring(rng, h, w, bs=16)
 
     print(
         json.dumps(
@@ -212,7 +275,11 @@ def main() -> None:
                 "train_step_ms": round(step_ms, 2),
                 "train_images_per_sec": round(train_ips, 1),
                 "train_mfu": round(mfu, 4) if mfu else None,
+                "train_step_fill32_ms": round(fill32_ms, 2),
+                "train_step_s2d_ms": round(s2d_ms, 2),
                 "patch_score_ms_per_image": round(patch_ms, 3),
+                "patch_score_bs16_ms_per_image": round(patch16_ms, 3),
+                "patch_roofline": roofline,
                 "device": jax.devices()[0].device_kind,
             }
         )

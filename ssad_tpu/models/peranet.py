@@ -45,6 +45,9 @@ class PeraNet(nn.Module):
     latent_space_layers: int = 5
     latent_dim: int = 512
     compute_dtype: Any = jnp.bfloat16
+    #: route even-sized ≥64px inputs through the space-to-depth stem
+    #: (exact 7×7/s2 equivalence; see resnet.StemConv)
+    stem_s2d: bool = False
 
     def setup(self):
         self.backbone = make_backbone(self.backbone_arch, dtype=self.compute_dtype, name="backbone")
@@ -80,7 +83,8 @@ class PeraNet(nn.Module):
             return self.backbone(x, train=train, stem_fold_2x=True)
         if x.shape[1] < 64 or x.shape[2] < 64:
             x = jax.vmap(lambda i: resize_nearest(i, (64, 64)))(x)
-        return self.backbone(x, train=train)
+        use_s2d = self.stem_s2d and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+        return self.backbone(x, train=train, stem_s2d=use_s2d)
 
     def head(self, feats: Dict[str, jax.Array], pooled: jax.Array, train: bool = True):
         """Concat head → latent MLP → classifier, from feature maps."""
@@ -116,6 +120,7 @@ def build_model(cfg: ModelConfig) -> PeraNet:
         latent_space_layers=cfg.latent_space_layers,
         latent_dim=cfg.latent_dim,
         compute_dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32,
+        stem_s2d=cfg.stem_s2d,
     )
 
 

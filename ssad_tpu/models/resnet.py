@@ -46,7 +46,7 @@ class StemConv(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, fold_2x: bool = False):
+    def __call__(self, x, fold_2x: bool = False, s2d: bool = False):
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (7, 7, 3, self.features),
             jnp.float32,
@@ -61,6 +61,31 @@ class StemConv(nn.Module):
             k = jnp.stack(
                 [k[:, 0], k[:, 1] + k[:, 2], k[:, 3] + k[:, 4], k[:, 5] + k[:, 6]],
                 axis=1,
+            )
+            strides, padding = (1, 1), [(2, 1), (2, 1)]
+        elif s2d:
+            # space-to-depth stem (the MLPerf-ResNet TPU trick): 2×2
+            # blocks fold the stride into the layout, so the 7×7/s2 conv
+            # over (H, W, 3) becomes an EXACT-equivalent 4×4/s1 conv over
+            # (H/2, W/2, 12).  MXU angle: the implicit-GEMM reduction
+            # length goes 147 → 192 (one zero tap row/col), but the
+            # stride-2 gather pattern disappears and the input layout is
+            # channel-denser; measured on the fused train step either
+            # way (bench.py "train_step_s2d_ms").
+            b, h, w, c = x.shape
+            x = (
+                x.reshape(b, h // 2, 2, w // 2, 2, c)
+                .transpose(0, 1, 3, 2, 4, 5)
+                .reshape(b, h // 2, w // 2, 4 * c)
+            )
+            # tap u = a − 4 for padded row index a ∈ 0..7 (u = −4 is the
+            # zero tap); a = 2·kr + dr splits into block kr and sub-pixel
+            # dr, matching the (dr, dc, c) channel order of the reshape
+            w8 = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+            k = (
+                w8.reshape(4, 2, 4, 2, 3, self.features)
+                .transpose(0, 2, 1, 3, 4, 5)
+                .reshape(4, 4, 4 * 3, self.features)
             )
             strides, padding = (1, 1), [(2, 1), (2, 1)]
         else:
@@ -170,11 +195,12 @@ class ResNet(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x, train: bool = True, stem_fold_2x: bool = False
+        self, x, train: bool = True, stem_fold_2x: bool = False,
+        stem_s2d: bool = False,
     ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
         x = x.astype(self.dtype)
         x = StemConv(features=64, dtype=self.dtype, name="conv1")(
-            x, fold_2x=stem_fold_2x
+            x, fold_2x=stem_fold_2x, s2d=stem_s2d
         )
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,

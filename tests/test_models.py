@@ -379,6 +379,41 @@ class TestFusedPatchScorer:
         np.testing.assert_allclose(fused_up, ref_up, rtol=1e-5, atol=1e-6)
 
 
+class TestSpaceToDepthStem:
+    """stem_s2d=True must be bit-for-the-same-math: the 2×2
+    space-to-depth 4×4/s1 stem equals the plain 7×7/s2 stem exactly
+    (f32 tolerance), end-to-end through the model."""
+
+    def test_s2d_matches_plain(self, rng):
+        plain = build_model(ModelConfig(compute_dtype="float32"))
+        s2d = build_model(ModelConfig(compute_dtype="float32", stem_s2d=True))
+        params, stats = init_model(plain, jax.random.key(0), (1, 64, 64, 3))
+        variables = {"params": params, "batch_stats": stats}
+
+        x = jnp.asarray(rng.random((2, 64, 64, 3), dtype=np.float32))
+        out_plain = plain.apply(variables, x, train=False)
+        out_s2d = s2d.apply(variables, x, train=False)
+        np.testing.assert_allclose(
+            np.asarray(out_s2d["latent_space"]),
+            np.asarray(out_plain["latent_space"]),
+            rtol=1e-4, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_s2d["classifier"]),
+            np.asarray(out_plain["classifier"]),
+            rtol=1e-4, atol=1e-5,
+        )
+
+    def test_odd_size_falls_back(self, rng):
+        """Odd spatial dims cannot space-to-depth; the flag must degrade
+        to the plain stem instead of crashing."""
+        s2d = build_model(ModelConfig(compute_dtype="float32", stem_s2d=True))
+        params, stats = init_model(s2d, jax.random.key(0), (1, 64, 64, 3))
+        x = jnp.asarray(rng.random((1, 65, 65, 3), dtype=np.float32))
+        out = s2d.apply({"params": params, "batch_stats": stats}, x, train=False)
+        assert np.isfinite(np.asarray(out["classifier"])).all()
+
+
 class TestFoldedStem:
     """32x32 inputs take the folded-stem path; it must equal the
     nearest-x2-upsample + 7x7/s2 stem exactly (f32 tolerance)."""
