@@ -18,6 +18,16 @@ import jax
 # sitecustomize) that wins over the env var; force CPU explicitly.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache (works for XLA:CPU since jax 0.4.30):
+# the suite recompiles near-identical ResNet train/eval programs dozens
+# of times on this 1-core host — cache hits cut full-suite wall time
+# substantially.  Keyed by HLO + topology, so it is correctness-safe.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("SSAD_TEST_JAX_CACHE", "/tmp/ssad_tpu_test_jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
 import numpy as np
 import pytest
 
