@@ -43,6 +43,12 @@ class InferenceEngine:
     model: PeraNet
     params: Any
     batch_stats: Any
+    #: route 32×32 patch batches through the fused
+    #: stem+BN+ReLU+maxpool (ops/stem_pool.py) — numerically equivalent
+    #: to the folded-stem module path (f32-affine, tested).  Honored
+    #: only where stem_pool.fused_available() says the fused path is
+    #: profitable/compilable (CPU: XLA impl; TPU: probe-gated Pallas)
+    fused_stem: bool = True
 
     def __post_init__(self):
         # variables travel as jit ARGUMENTS, not closure constants:
@@ -50,6 +56,31 @@ class InferenceEngine:
         # bloats the program past the remote-compile upload limit for
         # large backbones (wide_resnet50_2's ~270 MB of f32 weights)
         model = self.model
+        use_fused_stem = self.fused_stem
+
+        def patch_forward(variables, flat):
+            """Forward a (N, d, d, 3) patch batch; 32×32 patches take
+            the fused external stem when enabled."""
+            from ssad_tpu.ops import stem_pool
+
+            if (
+                use_fused_stem
+                and flat.shape[1] == 32
+                and flat.shape[2] == 32
+                and stem_pool.fused_available()
+            ):
+                bb_p = variables["params"]["backbone"]
+                bb_s = variables["batch_stats"]["backbone"]
+                k4 = stem_pool.fold_stem_kernel(bb_p["conv1"]["kernel"])
+                scale, bias = stem_pool.bn_affine(
+                    bb_p["bn1"]["scale"], bb_p["bn1"]["bias"],
+                    bb_s["bn1"]["mean"], bb_s["bn1"]["var"],
+                )
+                x_stem = stem_pool.stem_pool(flat, k4, scale, bias)
+                return model.apply(
+                    variables, x_stem, train=False, method=PeraNet.from_stem
+                )
+            return model.apply(variables, flat, train=False)
 
         @jax.jit
         def forward(variables, x):
@@ -70,7 +101,7 @@ class InferenceEngine:
             )
             b, n = p.shape[0], p.shape[1]
             flat = p.reshape((b * n,) + p.shape[2:])
-            out = model.apply(variables, flat, train=False)
+            out = patch_forward(variables, flat)
             scores = knn_cosine_scores(out["latent_space"], bank, k=k)
             side = int(round(n ** 0.5))
             maps = scores.reshape(b, n)[:, inv].reshape(b, side, side)
@@ -89,7 +120,7 @@ class InferenceEngine:
             )
             b, n = p.shape[0], p.shape[1]
             flat = p.reshape((b * n,) + p.shape[2:])
-            out = model.apply(variables, flat, train=False)
+            out = patch_forward(variables, flat)
             q = out["latent_space"].astype(jnp.float32) - mean
             d2 = jnp.einsum(
                 "qd,de,qe->q", q, precision, q,
@@ -115,7 +146,8 @@ class InferenceEngine:
             )
             b, n = p.shape[0], p.shape[1]
             flat = p.reshape((b * n,) + p.shape[2:])
-            logits, emb = forward(variables, flat)
+            out = patch_forward(variables, flat)
+            logits, emb = out["classifier"], out["latent_space"]
             logits = logits.reshape(b, n, -1)[:, inv].reshape(b * n, -1)
             emb = emb.reshape(b, n, -1)[:, inv].reshape(b * n, -1)
             return logits, emb, n

@@ -86,6 +86,14 @@ class PeraNet(nn.Module):
         use_s2d = self.stem_s2d and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
         return self.backbone(x, train=train, stem_s2d=use_s2d)
 
+    def from_stem(self, x_stem, train: bool = False) -> Dict[str, jax.Array]:
+        """Forward from a precomputed post-maxpool stem output — the
+        re-entry point for the fused Pallas stem (ops/stem_pool.py),
+        which computes conv1+bn1+relu+maxpool for 32×32 patches outside
+        the module to keep the conv output in VMEM."""
+        pooled, feats = self.backbone.forward_stages(x_stem, train=train)
+        return self.head(feats, pooled, train=train)
+
     def head(self, feats: Dict[str, jax.Array], pooled: jax.Array, train: bool = True):
         """Concat head → latent MLP → classifier, from feature maps."""
         ura = not train

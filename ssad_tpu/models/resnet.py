@@ -185,6 +185,13 @@ class ResNet(nn.Module):
 
     block: 'basic' (ResNet-18/34) or 'bottleneck' (ResNet-50 family);
     width_factor scales the bottleneck inner width (2 = wide_resnet50_2).
+
+    setup-style (not @nn.compact) so `forward_stages` is separately
+    applyable: the fused Pallas stem (ops/stem_pool.py) computes
+    conv1+bn1+relu+maxpool outside the module and re-enters here.
+    Parameter names are identical to the previous compact layout
+    (conv1 / bn1 / layer{stage}_{block}) — checkpoints and the
+    torchvision converter are unaffected.
     """
 
     dtype: Any = jnp.float32
@@ -193,23 +200,12 @@ class ResNet(nn.Module):
     block: str = "basic"
     width_factor: int = 1
 
-    @nn.compact
-    def __call__(
-        self, x, train: bool = True, stem_fold_2x: bool = False,
-        stem_s2d: bool = False,
-    ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
-        x = x.astype(self.dtype)
-        x = StemConv(features=64, dtype=self.dtype, name="conv1")(
-            x, fold_2x=stem_fold_2x, s2d=stem_s2d
+    def setup(self):
+        self.conv1 = StemConv(features=64, dtype=self.dtype, name="conv1")
+        self.bn1 = nn.BatchNorm(
+            momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="bn1"
         )
-        x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype, name="bn1",
-        )(x)
-        x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
-
-        feats: Dict[str, jax.Array] = {}
+        blocks = []
         for stage, (num_blocks, filters) in enumerate(
             zip(self.stage_sizes, self.stage_filters), start=1
         ):
@@ -217,18 +213,46 @@ class ResNet(nn.Module):
                 strides = 2 if stage > 1 and block == 0 else 1
                 name = f"layer{stage}_{block}"
                 if self.block == "basic":
-                    x = BasicBlock(filters, strides=strides, dtype=self.dtype, name=name)(
-                        x, train=train
+                    blocks.append(
+                        BasicBlock(
+                            filters, strides=strides, dtype=self.dtype, name=name
+                        )
                     )
                 else:
-                    x = BottleneckBlock(
-                        filters, width=filters * self.width_factor,
-                        strides=strides, dtype=self.dtype, name=name,
-                    )(x, train=train)
-            feats[f"layer{stage}"] = x
+                    blocks.append(
+                        BottleneckBlock(
+                            filters, width=filters * self.width_factor,
+                            strides=strides, dtype=self.dtype, name=name,
+                        )
+                    )
+        self.blocks = blocks
 
+    def forward_stages(
+        self, x, train: bool = True
+    ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+        """layer1..layer4 + global pool from the post-maxpool stem
+        output — the re-entry point for the fused external stem."""
+        x = x.astype(self.dtype)
+        feats: Dict[str, jax.Array] = {}
+        i = 0
+        for stage, num_blocks in enumerate(self.stage_sizes, start=1):
+            for _ in range(num_blocks):
+                x = self.blocks[i](x, train=train)
+                i += 1
+            feats[f"layer{stage}"] = x
         pooled = jnp.mean(x, axis=(1, 2))  # global average pool
         return pooled.astype(jnp.float32), feats
+
+    def __call__(
+        self, x, train: bool = True, stem_fold_2x: bool = False,
+        stem_s2d: bool = False,
+    ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+        x = x.astype(self.dtype)
+        x = self.conv1(x, fold_2x=stem_fold_2x, s2d=stem_s2d)
+        x = self.bn1(x, use_running_average=not train)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        return self.forward_stages(x, train=train)
 
 
 def ResNet18(dtype: Any = jnp.float32, name: str = "backbone") -> ResNet:

@@ -1,0 +1,343 @@
+"""Fused folded-stem + BN + ReLU + maxpool for 32×32 patch inference.
+
+The patch-scoring program is HBM-bound (bench.py patch_roofline: 995 MB
+accessed per image vs a 1.21 ms memory speed-of-light), and its largest
+single tensor is the stem conv output: 841 patches × 32×32×64 bf16
+≈ 110 MB/image, written by conv1 and immediately re-read by maxpool —
+~22% of the program's bytes for one ReLU in between.  XLA cannot fuse a
+convolution into a reduce-window consumer, so the fix is one Pallas
+kernel that keeps the conv output in VMEM and writes only the pooled
+16×16×64 maps (27 MB/image).
+
+The conv is the *folded* stem (resnet.StemConv fold_2x: the reference's
+nearest-×2-upsample + 7×7/s2 conv collapsed to 4×4/s1 with pairwise-
+summed weights, models.py:218-219) and BN runs in inference mode, so
+`scale`/`bias` are the folded running-stat affine.  The maxpool uses
+zero padding, which equals −inf padding because it pools post-ReLU
+values (≥ 0).
+
+Mosaic kernel design (v2 — v1 naively concatenated 16 shifted slices of
+a 4-D vector, which Mosaic rejects: "offset mismatch on non-concat
+dimension").  The trick is to pre-split each patch into its four
+stride-2 PARITY planes in XLA, so that inside the kernel every tensor
+is either offset-zero or produced by a circular roll (`pltpu.roll`
+re-lays out to offset zero):
+
+  1. XLA prep: patches (M,32,32,3) → four parity planes
+     xP[a][b][n, ph, qh, c] = x[n, 2ph+a, 2qh+b, c], zero-padded by one
+     halo row/col each side and flattened to (M, 18, 54) with lanes
+     (qh′, c).  This bakes the conv's (2,1) zero padding into the halo.
+  2. Conv output pixel (i,j) = (2p+a, 2q+b); tap (ky,kx) reads pixel
+     (i+ky−2, j+kx−2), which lives in parity plane a′=(a+ky)&1 at half-
+     row p + (a+ky−2)//2.  So every tap of every output parity is an
+     offset-ZERO prefix slice of a (sublane-roll, lane-roll) of one of
+     the four planes — 25 distinct rolled variants total, shared
+     across the 64 (output-parity × tap) combinations.
+  3. Per output parity: concat the 16 tap slices along lanes →
+     (T,16,16,48) → reshape (T·256, 48) → ONE K=48 MXU matmul with the
+     folded (48,64) kernel → BN affine + ReLU → E_ab, rows (n,p,q).
+  4. 3×3/s2 maxpool = max over the four parity blocks and five
+     sublane-rolled copies (shifts 1, 16, 17 = q−1, p−1, both), with
+     iota masks zeroing roll wrap-around — valid because post-ReLU
+     values are ≥ 0 and the pool pad is zero.  bf16 throughout the max
+     tree: rounding is monotone, so max(round(·)) == round(max(·)) and
+     the result exactly matches pooling the rounded conv output.
+
+An XLA reference implementation backs CPU tests and is the non-TPU
+fused path; on TPU the kernel is probe-compiled ONCE (eagerly, on a
+tiny input) and the engine falls back to the unfused module path if
+Mosaic rejects it — a compile failure inside the outer jitted scoring
+program would NOT be catchable per-call.  Equivalence with the unfused
+model path is tested to f32 tolerance (tests/test_stem_pool.py).
+
+MEASURED OUTCOME (2026-08, libtpu on v5e): Mosaic REJECTS the kernel —
+``tpu.reshape (8x16x48) -> (8x16x16x3): infer-vector-layout:
+unsupported shape cast``.  Step 3's per-tap lane split (lanes (qh,c)=48
+→ sublanes qh=16 × lanes c=3) is exactly the lane→sublane transpose
+Mosaic cannot lay out, and it is fundamental to this design: an
+efficient K=48 im2col matmul needs q in ROWS while rolls need q in
+LANES.  Every restructuring either reintroduces the cast or pays ≥16×
+in FLOPs (block-diagonal (k,q,c)×(q',f) weights) or lanes (c-only
+lanes: 3/128).  The kernel stays (interpret-mode verified, probe-gated)
+for future Mosaic versions, but the TPU probe is OPT-IN via
+``SSAD_TRY_FUSED_STEM=1`` so product paths don't pay a doomed ~4 s
+probe compile per process.  On CPU the XLA fused path is the default
+(it is how the tests exercise the fused math).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def fold_stem_kernel(kernel7: jax.Array) -> jax.Array:
+    """(7,7,3,F) stem weights → the exact folded (4,4,3,F) kernel for
+    nearest-×2-upsampled inputs (resnet.StemConv fold_2x construction:
+    w' = [w0, w1+w2, w3+w4, w5+w6] per spatial axis)."""
+    w = kernel7
+    w = jnp.stack([w[0], w[1] + w[2], w[3] + w[4], w[5] + w[6]], axis=0)
+    w = jnp.stack(
+        [w[:, 0], w[:, 1] + w[:, 2], w[:, 3] + w[:, 4], w[:, 5] + w[:, 6]],
+        axis=1,
+    )
+    return w
+
+
+def bn_affine(scale, bias, mean, var, eps: float = 1e-5):
+    """Inference-mode BatchNorm folded to (scale', bias')."""
+    s = scale / jnp.sqrt(var + eps)
+    return s, bias - mean * s
+
+
+def _im2col_4x4(x):
+    """(N, 32, 32, 3) → (N·1024, 48) with padding (2,1) per axis and tap
+    order (ky, kx, c) — matching a (4,4,3,F)→(48,F) kernel reshape."""
+    n = x.shape[0]
+    xp = jnp.pad(x, ((0, 0), (2, 1), (2, 1), (0, 0)))
+    cols = [
+        xp[:, ky : ky + 32, kx : kx + 32, :]
+        for ky in range(4)
+        for kx in range(4)
+    ]
+    im = jnp.concatenate(cols, axis=-1)  # (N, 32, 32, 48)
+    return im.reshape(n * 1024, 48)
+
+
+def _pool3s2_rows(y):
+    """3-wide/stride-2 max along axis 1 (length 32 → 16) with zero
+    padding: window i = rows {2i−1, 2i, 2i+1} = max(pairmax[i],
+    odd[i−1]); zero pad is safe post-ReLU."""
+    n, h, w, c = y.shape
+    pairs = y.reshape(n, h // 2, 2, w, c)
+    pairmax = jnp.max(pairs, axis=2)  # rows (2i, 2i+1)
+    odd = pairs[:, :, 1]  # rows 2i+1
+    prev_odd = jnp.concatenate(
+        [jnp.zeros_like(odd[:, :1]), odd[:, :-1]], axis=1
+    )  # rows 2i−1 (zero pad at i=0)
+    return jnp.maximum(pairmax, prev_odd)
+
+
+def _maxpool3s2(y):
+    """3×3/stride-2/pad-1 maxpool of post-ReLU (N, 32, 32, C) → (N, 16, 16, C)."""
+    y = _pool3s2_rows(y)
+    y = jnp.swapaxes(_pool3s2_rows(jnp.swapaxes(y, 1, 2)), 1, 2)
+    return y
+
+
+def stem_pool_xla(x, k4, scale, bias):
+    """Reference XLA implementation (CPU fused path + test oracle).
+
+    x: (N, 32, 32, 3); k4: (4,4,3,F) folded kernel; scale/bias: (F,)
+    inference-BN affine.  Returns (N, 16, 16, F).
+    """
+    f = k4.shape[-1]
+    im = _im2col_4x4(x)
+    y = jnp.dot(
+        im, k4.reshape(48, f).astype(im.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    y = y * scale + bias
+    y = jnp.maximum(y, 0.0).reshape(x.shape[0], 32, 32, f)
+    return _maxpool3s2(y).astype(x.dtype)
+
+
+# --- Pallas TPU kernel -------------------------------------------------------
+
+_TILE_N = 8  # patches per kernel instance
+
+
+def _parity_planes(x):
+    """(M, 32, 32, 3) → (M, 2, 2, 18, 54): parity plane [a, b] holds
+    pixels (2ph+a, 2qh+b) with a one-half-pixel zero halo on every side
+    (= the conv's (2,1) zero padding split by parity), minor dims
+    flattened to lanes (qh′·3 + c)."""
+    m = x.shape[0]
+    xp = x.reshape(m, 16, 2, 16, 2, 3).transpose(0, 2, 4, 1, 3, 5)
+    xp = jnp.pad(xp, ((0, 0), (0, 0), (0, 0), (1, 1), (1, 1), (0, 0)))
+    return xp.reshape(m, 2, 2, 18, 54)
+
+
+def _tap_plane(a: int, k: int):
+    """Output parity a, tap offset k → (source parity, half-shift)."""
+    v = a + k - 2
+    return v & 1, v >> 1  # (parity, floor((a+k-2)/2))
+
+
+def _stem_pool_kernel(x00, x01, x10, x11, w_ref, scale_ref, bias_ref, out_ref):
+    from jax.experimental.pallas import tpu as pltpu
+
+    planes = ((x00, x01), (x10, x11))
+    t = x00.shape[0]
+    rows = t * 256
+
+    # 25 distinct (plane, s_p, s_q) rolled variants, built lazily: roll
+    # re-lays out to offset zero, so the later prefix slices + lane
+    # concat satisfy Mosaic's aligned-offset rules.
+    rolled = {}
+
+    def variant(ap, bp, sp, sq):
+        key = (ap, bp, sp, sq)
+        if key not in rolled:
+            v = planes[ap][bp][...]  # (T, 18, 54)
+            # pltpu.roll requires non-negative shifts: −k ≡ size−k
+            if sp + 1:
+                v = pltpu.roll(v, 18 - (sp + 1), axis=1)
+            if sq + 1:
+                v = pltpu.roll(v, 54 - 3 * (sq + 1), axis=2)
+            rolled[key] = v
+        return rolled[key]
+
+    w = w_ref[...]  # (48, F)
+    scale = scale_ref[...]  # (1, F)
+    bias = bias_ref[...]
+
+    # pooling masks from the flattened (n, p, q) row index
+    r = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    q0 = (r & 15) == 0
+    p0 = ((r >> 4) & 15) == 0
+
+    e = {}
+    for a in range(2):
+        for b in range(2):
+            taps = []
+            for ky in range(4):
+                ap, sp = _tap_plane(a, ky)
+                for kx in range(4):
+                    bp, sq = _tap_plane(b, kx)
+                    v = variant(ap, bp, sp, sq)
+                    # rows ph+s_p, cols (qh+s_q, c) are now at offset 0
+                    taps.append(v[:, :16, :48].reshape(t, 16, 16, 3))
+            im = jnp.concatenate(taps, axis=-1)  # (T, 16, 16, 48)
+            y = jnp.dot(
+                im.reshape(rows, 48), w, preferred_element_type=jnp.float32
+            )
+            y = jnp.maximum(y * scale + bias, 0.0)
+            e[(a, b)] = y.astype(out_ref.dtype)  # rounding before max is
+            # exact: rounding is monotone, max commutes with it
+
+    def shifted(y, shift, mask):
+        s = pltpu.roll(y, shift, axis=0)
+        return jnp.where(mask, jnp.zeros_like(s), s)
+
+    pooled = jnp.maximum(e[(0, 0)], e[(0, 1)])
+    pooled = jnp.maximum(pooled, e[(1, 0)])
+    pooled = jnp.maximum(pooled, e[(1, 1)])
+    pooled = jnp.maximum(pooled, shifted(e[(0, 1)], 1, q0))  # (2p, 2q−1)
+    pooled = jnp.maximum(pooled, shifted(e[(1, 1)], 1, q0))  # (2p+1, 2q−1)
+    pooled = jnp.maximum(pooled, shifted(e[(1, 0)], 16, p0))  # (2p−1, 2q)
+    pooled = jnp.maximum(pooled, shifted(e[(1, 1)], 16, p0))  # (2p−1, 2q+1)
+    pooled = jnp.maximum(pooled, shifted(e[(1, 1)], 17, p0 | q0))  # (2p−1, 2q−1)
+    out_ref[...] = pooled
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def stem_pool_pallas(x, k4, scale, bias, interpret: bool = False):
+    """Fused stem on TPU: grid over patch tiles, conv output never
+    leaves VMEM.  Shapes as stem_pool_xla."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = x.shape[0]
+    f = k4.shape[-1]
+    n_pad = ((n + _TILE_N - 1) // _TILE_N) * _TILE_N
+    if n_pad != n:
+        x = jnp.pad(x, ((0, n_pad - n), (0, 0), (0, 0), (0, 0)))
+    planes = _parity_planes(x)  # (M, 2, 2, 18, 54)
+    w = k4.reshape(48, f).astype(x.dtype)
+    grid = (n_pad // _TILE_N,)
+    plane_spec = lambda a, b: pl.BlockSpec(
+        (_TILE_N, 18, 54), lambda i, a=a, b=b: (i, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out = pl.pallas_call(
+        _stem_pool_kernel,
+        out_shape=jax.ShapeDtypeStruct((n_pad * 256, f), x.dtype),
+        grid=grid,
+        in_specs=[
+            plane_spec(0, 0), plane_spec(0, 1),
+            plane_spec(1, 0), plane_spec(1, 1),
+            pl.BlockSpec((48, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (_TILE_N * 256, f), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(
+        planes[:, 0, 0], planes[:, 0, 1], planes[:, 1, 0], planes[:, 1, 1],
+        w,
+        scale.astype(jnp.float32).reshape(1, f),
+        bias.astype(jnp.float32).reshape(1, f),
+    )
+    return out.reshape(n_pad, 16, 16, f)[:n]
+
+
+import os as _os
+
+_FORCE_PALLAS = _os.environ.get("SSAD_FORCE_PALLAS") == "1"
+_pallas_ok = None  # tri-state probe result; None = not probed yet
+
+
+def pallas_available() -> bool:
+    """True iff the Mosaic kernel compiles and runs on this backend.
+
+    Probed ONCE, eagerly, on a tiny concrete input — Mosaic rejections
+    surface at the OUTER jit's compile time when the kernel is embedded
+    in a larger program, where no per-call fallback is possible, so the
+    availability decision must be made before tracing.
+    """
+    global _pallas_ok
+    if _pallas_ok is None:
+        if jax.default_backend() != "tpu":
+            _pallas_ok = False
+        else:
+            try:
+                probe = stem_pool_pallas(
+                    jnp.zeros((1, 32, 32, 3), jnp.bfloat16),
+                    jnp.zeros((4, 4, 3, 64), jnp.bfloat16),
+                    jnp.ones((64,), jnp.float32),
+                    jnp.zeros((64,), jnp.float32),
+                )
+                probe.block_until_ready()
+                _pallas_ok = True
+            except Exception as e:  # Mosaic lowering/compile failure
+                if _FORCE_PALLAS:
+                    raise
+                _pallas_ok = False
+                import warnings
+
+                warnings.warn(
+                    "Pallas stem_pool kernel unavailable on this TPU; "
+                    f"patch scoring uses the unfused module stem: {e!r}",
+                    RuntimeWarning,
+                )
+    return _pallas_ok
+
+
+def fused_available() -> bool:
+    """Whether the engine should route 32×32 patches through the fused
+    stem: the XLA oracle off-TPU (CPU tests — perf is irrelevant there,
+    the fused MATH is what's being exercised); on TPU, Pallas only, and
+    only when ``SSAD_TRY_FUSED_STEM=1``/``SSAD_FORCE_PALLAS=1`` opts
+    into the probe — current Mosaic rejects the kernel (see module
+    docstring), so the default TPU path skips the probe entirely.  On
+    TPU without Pallas the unfused module path wins anyway: the XLA
+    fallback materialises the 16× im2col in HBM, which is SLOWER than
+    the native conv."""
+    if jax.default_backend() != "tpu":
+        return True
+    if _FORCE_PALLAS or _os.environ.get("SSAD_TRY_FUSED_STEM") == "1":
+        return pallas_available()
+    return False
+
+
+def stem_pool(x, k4, scale, bias):
+    """Fused stem+BN+ReLU+maxpool: (N,32,32,3) → (N,16,16,F).
+    Callers must gate on `fused_available()` first."""
+    if jax.default_backend() == "tpu" and pallas_available():
+        return stem_pool_pallas(x, k4, scale, bias)
+    return stem_pool_xla(x, k4, scale, bias)
