@@ -13,6 +13,8 @@ exposes the full workflow:
     python -m ssad_tpu.cli train-multi --dataset-dir D --subjects all --stack 4
     python -m ssad_tpu.cli profile   --dataset-dir D --subject bottle --profile-dir T
     python -m ssad_tpu.cli parity    --outputs-dir O   (end-to-end accuracy run)
+    python -m ssad_tpu.cli export    --models-dir O --subject bottle   (AOT artifact)
+    python -m ssad_tpu.cli serve     --artifact O/bottle/bottle_image.ssadexp
 """
 
 from __future__ import annotations
@@ -347,6 +349,68 @@ def cmd_infer(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Checkpoint → self-contained AOT serving artifact (weights + bank
+    + calibrated threshold baked into one serialized StableHLO program;
+    serving/export.py).  The reference has no deployment path at all —
+    its inference is a live Lightning predict loop (tools.py:310-390)."""
+    from ssad_tpu.serving.export import export_checkpoint
+
+    ckpt = str(Path(args.models_dir) / args.subject / "best_model")
+    out = args.out or str(
+        Path(args.models_dir) / args.subject / f"{args.subject}_{args.mode}.ssadexp"
+    )
+    path = export_checkpoint(
+        ckpt, out, mode=args.mode, batch=args.batch,
+        imsize=(args.imsize, args.imsize) if args.imsize else None,
+        k=args.knn_k, platform=args.export_platform,
+        patch_dim=args.patch_dim, stride=args.stride, seed=args.seed,
+    )
+    print(json.dumps({
+        "artifact": path,
+        "mode": args.mode,
+        "bytes": Path(path).stat().st_size,
+    }))
+    return 0
+
+
+def cmd_serve(args) -> int:
+    """Serve an exported artifact over HTTP with dynamic batching
+    (serving/server.py).  Blocks until interrupted."""
+    import time as _time
+
+    from ssad_tpu.serving.export import load_scorer
+    from ssad_tpu.serving.server import AnomalyHTTPServer, BatchingScorer
+
+    scorer = load_scorer(args.artifact)
+    # compile before accepting traffic: the first execution of a
+    # deserialized program triggers (remote-tunneled) compilation that
+    # must not land on a live request's latency budget
+    warmup_s = scorer.warmup()
+    batcher = BatchingScorer(
+        scorer, batch=scorer.batch, max_delay_ms=args.max_delay_ms
+    )
+    server = AnomalyHTTPServer(
+        batcher, scorer.meta, host=args.host, port=args.port,
+        score_timeout=args.score_timeout,
+    ).start()
+    print(json.dumps({
+        "host": args.host,
+        "port": server.port,
+        "mode": scorer.meta.get("mode"),
+        "batch": scorer.batch,
+        "warmup_s": round(warmup_s, 2),
+    }), flush=True)
+    try:
+        while True:
+            _time.sleep(3600)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.stop()
+    return 0
+
+
 def cmd_profile(args) -> int:
     """Capture a jax.profiler device trace of the fused train step
     (view with TensorBoard/xprof; SURVEY §5.1 — absent in the ref)."""
@@ -535,6 +599,43 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["resnet18", "wide_resnet50_2"])
     pr.add_argument("--pretrained-backbone", default=None)
     pr.set_defaults(fn=cmd_profile)
+
+    ex = sub.add_parser(
+        "export", help="export a checkpoint as a self-contained AOT serving artifact"
+    )
+    ex.add_argument("--models-dir", required=True)
+    ex.add_argument("--subject", required=True)
+    ex.add_argument("--out", default=None,
+                    help="artifact path (default: "
+                         "<models-dir>/<subject>/<subject>_<mode>.ssadexp)")
+    ex.add_argument("--mode", default="image", choices=["image", "patch"])
+    ex.add_argument("--batch", type=int, default=8,
+                    help="fixed serving batch the program is compiled for")
+    ex.add_argument("--imsize", type=int, default=None,
+                    help="default: the checkpoint's training imsize")
+    ex.add_argument("--knn-k", type=int, default=None,
+                    help="default: EvalConfig().knn_k")
+    ex.add_argument("--patch-dim", type=int, default=32)
+    ex.add_argument("--stride", type=int, default=8)
+    ex.add_argument("--export-platform", default=None,
+                    choices=["cpu", "tpu", "gpu"],
+                    help="lowering target (default: the active backend)")
+    ex.add_argument("--platform", default=None, choices=["cpu", "tpu", "gpu"])
+    ex.add_argument("--seed", type=int, default=0)
+    ex.set_defaults(fn=cmd_export)
+
+    sv = sub.add_parser(
+        "serve", help="serve an exported artifact over HTTP (dynamic batching)"
+    )
+    sv.add_argument("--artifact", required=True)
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8000)
+    sv.add_argument("--max-delay-ms", type=float, default=5.0,
+                    help="max time a request waits for its batch to fill")
+    sv.add_argument("--score-timeout", type=float, default=60.0,
+                    help="per-request scoring timeout in seconds")
+    sv.add_argument("--platform", default=None, choices=["cpu", "tpu", "gpu"])
+    sv.set_defaults(fn=cmd_serve)
 
     l = sub.add_parser("localize", help="qualitative localization panels")
     common(l, models=True)

@@ -1,0 +1,6 @@
+from ssad_tpu.serving.export import (  # noqa: F401
+    export_scorer, load_scorer, save_artifact, ServedScorer,
+)
+from ssad_tpu.serving.server import (  # noqa: F401
+    BatchingScorer, AnomalyHTTPServer,
+)

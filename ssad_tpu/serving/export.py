@@ -1,0 +1,270 @@
+"""AOT model export for deployment: one self-contained artifact file.
+
+The reference has no deployment story at all — its inference path is a
+Lightning `Trainer.predict` loop over a live Python checkpoint
+(tools.py:310-390).  For TPU serving the natural unit is an
+ahead-of-time lowered program: `jax.export` serializes the traced
+scoring computation (StableHLO bytes + calling convention), which a
+serving host deserializes and compiles ONCE — no Flax module tree, no
+checkpoint restore, no Python model code on the serving side.
+
+An artifact bundles, in one file:
+
+  * a JSON header — mode ('image' | 'patch'), input geometry
+    (batch/imsize), scorer hyperparameters (k, threshold), the lowering
+    platform, and the framework version;
+  * the serialized exported program, with the trained weights AND the
+    fitted normality bank baked in as constants (a ResNet-18 artifact
+    is ~25 MB; self-containment beats the weights-as-arguments rule the
+    live `InferenceEngine` follows, because a serving binary wants one
+    file, not a checkpoint directory).
+
+The exported callable maps RAW [0,1] float images (B, H, W, 3) —
+ImageNet normalization happens inside the program:
+
+  * image mode → `(scores (B,), labels (B,), logits (B, C))`:
+    k-NN cosine distance of the image embedding to the baked bank,
+    thresholded at the detector's calibrated threshold;
+  * patch mode → `(maps (B, H, W),)`: the fused sliding-window program
+    (extract → embed → k-NN → blur → upsample) of
+    `InferenceEngine.score_patch_maps`.
+
+Platform note: kernel dispatch (Pallas vs XLA k-NN, ops/knn.py) is
+resolved at TRACE time from the active backend, so an artifact is
+lowered for the platform that exports it (TPU host → TPU artifact).
+Pass ``platform='cpu'`` on a TPU host to cross-lower a CPU artifact —
+the k-NN falls to the XLA path under `jax.default_device`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import struct
+from pathlib import Path
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_MAGIC = b"SSADEXP1"
+
+
+def _scorer_fn(engine, bank, threshold: float, k: int, mode: str,
+               patch_dim: int, stride: int, upsample_to: Optional[int]):
+    """The raw-image scoring closure that gets traced and exported.
+    Weights/bank ride as closure constants (baked into the program)."""
+    from ssad_tpu.ops import image as im
+    from ssad_tpu.ops.knn import knn_cosine_scores
+
+    variables = engine._variables
+    bank = jnp.asarray(bank)
+
+    if mode == "image":
+
+        def fn(x):
+            xn = jax.vmap(im.normalize_imagenet)(x)
+            logits, emb = engine._forward.__wrapped__(variables, xn)
+            scores = knn_cosine_scores(emb, bank, k=k)
+            labels = (scores > threshold).astype(jnp.int32)
+            return scores, labels, logits
+
+    elif mode == "patch":
+
+        def fn(x):
+            xn = jax.vmap(im.normalize_imagenet)(x)
+            return (
+                engine._score_patches.__wrapped__(
+                    variables, xn, bank, patch_dim, stride, k, upsample_to
+                ),
+            )
+
+    else:
+        raise ValueError(f"unknown mode {mode!r}; valid: image, patch")
+    return fn
+
+
+def export_scorer(
+    engine,
+    bank,
+    mode: str = "image",
+    batch: int = 8,
+    imsize: Tuple[int, int] = (256, 256),
+    k: int = 3,
+    threshold: float = 0.0,
+    patch_dim: int = 32,
+    stride: int = 8,
+    upsample_to: Optional[int] = None,
+    platform: Optional[str] = None,
+) -> Tuple["jax.export.Exported", dict]:
+    """Trace + lower the scoring program for ONE fixed input geometry.
+
+    Fixed shapes are deliberate (serving pads to `batch`; one
+    compilation, no shape-polymorphic recompiles on the hot path).
+    Returns (Exported, header_meta).
+    """
+    from jax import export as jexp
+
+    platform = platform or jax.default_backend()
+    if upsample_to is None and mode == "patch":
+        upsample_to = imsize[0]
+    fn = _scorer_fn(engine, bank, threshold, k, mode, patch_dim, stride,
+                    upsample_to)
+    spec = jax.ShapeDtypeStruct((batch, imsize[0], imsize[1], 3), jnp.float32)
+    with jax.default_device(jax.local_devices(backend=platform)[0]):
+        exported = jexp.export(jax.jit(fn), platforms=(platform,))(spec)
+    meta = {
+        "format": "ssad_tpu.serving/1",
+        "mode": mode,
+        "batch": batch,
+        "imsize": list(imsize),
+        "k": k,
+        "threshold": float(threshold),
+        "patch_dim": patch_dim,
+        "stride": stride,
+        "upsample_to": upsample_to,
+        "platform": platform,
+        "num_classes": engine.model.num_classes,
+    }
+    return exported, meta
+
+
+def save_artifact(path: str | Path, exported, meta: dict) -> str:
+    """`SSADEXP1 | u64 header_len | header JSON | exported bytes`."""
+    payload = exported.serialize()
+    header = json.dumps(meta).encode("utf-8")
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(_MAGIC)
+        f.write(struct.pack("<Q", len(header)))
+        f.write(header)
+        f.write(payload)
+    return str(path)
+
+
+@dataclasses.dataclass
+class ServedScorer:
+    """A deserialized artifact, callable on numpy image batches.
+
+    Sub-`batch` inputs are zero-padded to the exported geometry and the
+    padding rows dropped from the outputs — callers never see the fixed
+    batch.  Larger inputs are chunked.
+    """
+
+    meta: dict
+    _call: Any  # Exported.call
+
+    @classmethod
+    def from_file(cls, path: str | Path) -> "ServedScorer":
+        from jax import export as jexp
+
+        blob = Path(path).read_bytes()
+        if blob[: len(_MAGIC)] != _MAGIC:
+            raise ValueError(f"{path}: not an ssad_tpu serving artifact")
+        off = len(_MAGIC)
+        (hlen,) = struct.unpack_from("<Q", blob, off)
+        off += 8
+        meta = json.loads(blob[off : off + hlen].decode("utf-8"))
+        exported = jexp.deserialize(blob[off + hlen :])
+        return cls(meta=meta, _call=jax.jit(exported.call))
+
+    @property
+    def batch(self) -> int:
+        return int(self.meta["batch"])
+
+    def warmup(self, max_calls: int = 16, settled_s: float = 0.25) -> float:
+        """Compile + execute on zeros until the per-call time settles;
+        returns total wall seconds spent.  Serving hosts call this
+        BEFORE accepting traffic: the first execution triggers
+        compilation (20 s–minutes through a remote-compile tunnel), and
+        tunneled backends additionally warm PER PROGRAM HASH — a
+        freshly-compiled program can execute 100×+ slower for its first
+        calls, so a single call is not enough.  Every result leaf is
+        read back to the host (`block_until_ready` under-reports on
+        tunneled backends)."""
+        import time
+
+        h, w = self.meta["imsize"]
+        x = jnp.zeros((self.batch, h, w, 3), jnp.float32)
+        t0 = time.perf_counter()
+        for _ in range(max_calls):
+            t1 = time.perf_counter()
+            res = self._call(x)
+            for leaf in jax.tree_util.tree_leaves(res):
+                np.asarray(leaf)
+            if time.perf_counter() - t1 < settled_s:
+                break
+        return time.perf_counter() - t0
+
+    def __call__(self, images: np.ndarray) -> Tuple[np.ndarray, ...]:
+        x = np.asarray(images, dtype=np.float32)
+        if x.ndim == 3:
+            x = x[None]
+        h, w = self.meta["imsize"]
+        if x.shape[1:] != (h, w, 3):
+            raise ValueError(
+                f"expected (B, {h}, {w}, 3) images, got {x.shape}"
+            )
+        outs = []
+        for lo in range(0, x.shape[0], self.batch):
+            chunk = x[lo : lo + self.batch]
+            n = chunk.shape[0]
+            if n < self.batch:
+                chunk = np.pad(chunk, ((0, self.batch - n),) + ((0, 0),) * 3)
+            res = self._call(jnp.asarray(chunk))
+            outs.append(tuple(np.asarray(r)[:n] for r in res))
+        return tuple(np.concatenate(parts, axis=0) for parts in zip(*outs))
+
+
+def load_scorer(path: str | Path) -> ServedScorer:
+    return ServedScorer.from_file(path)
+
+
+def export_checkpoint(
+    checkpoint_path: str,
+    out_path: str,
+    mode: str = "image",
+    batch: int = 8,
+    imsize: Optional[Tuple[int, int]] = None,
+    k: Optional[int] = None,
+    platform: Optional[str] = None,
+    patch_dim: int = 32,
+    stride: int = 8,
+    normality: Optional[np.ndarray] = None,
+    threshold: Optional[float] = None,
+    seed: int = 0,
+) -> str:
+    """Checkpoint directory → serving artifact (the `cli export` body).
+
+    The detector is fitted here, once, at export time: normality rows
+    come from the checkpoint's memory bank (or an explicit `normality`
+    array), split 70/30 with the threshold calibrated on the val part —
+    the same fit the evaluators run per-session, moved offline.
+    """
+    from ssad_tpu.evaluation.inference import load_engine
+    from ssad_tpu.models.detector import AnomalyDetector
+    from ssad_tpu.train.memory_bank import newest_first
+
+    engine, bank, cfg = load_engine(checkpoint_path)
+    if normality is None:
+        if bank is None or int(bank.count) == 0:
+            raise ValueError(
+                f"{checkpoint_path} has no memory bank; pass `normality`"
+            )
+        normality = np.asarray(newest_first(bank))
+    if imsize is None:
+        imsize = tuple(cfg.data.imsize) if cfg is not None else (256, 256)
+    if k is None:
+        from ssad_tpu.config import EvalConfig
+
+        k = EvalConfig().knn_k
+    det = AnomalyDetector(k=k).fit(jnp.asarray(normality), jax.random.key(seed))
+    thr = float(det.threshold) if threshold is None else float(threshold)
+    exported, meta = export_scorer(
+        engine, det.bank, mode=mode, batch=batch, imsize=imsize, k=k,
+        threshold=thr, patch_dim=patch_dim, stride=stride, platform=platform,
+    )
+    meta["checkpoint"] = str(checkpoint_path)
+    return save_artifact(out_path, exported, meta)

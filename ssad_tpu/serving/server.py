@@ -1,0 +1,272 @@
+"""Serving runtime: request batching + a stdlib HTTP front end.
+
+TPU serving economics are batch economics: the scoring programs are
+compiled for ONE fixed batch shape (serving/export.py), a single
+program launch amortizes the dispatch cost over the whole batch, and a
+half-empty batch wastes the difference.  `BatchingScorer` is the
+classic dynamic batcher: callers submit single images from any thread
+and get futures; a collector thread drains the queue until the batch
+fills or `max_delay_ms` expires, pads, runs the scorer once, and
+fans results back out.  (The reference has nothing comparable — its
+inference is an offline Lightning predict loop, tools.py:310-390.)
+
+`AnomalyHTTPServer` puts a dependency-free HTTP API in front (stdlib
+`ThreadingHTTPServer` — this image has no web framework):
+
+  POST /score    body: raw .npy (H, W, 3) float32 [0,1], or any image
+                 file PIL can decode (PNG/JPEG; resized to the model's
+                 input geometry).  → JSON {score, label, ...} for image
+                 mode; {map_max, map_mean, heatmap_b64?} for patch mode
+                 (`?heatmap=1` adds the base64 PNG heatmap).
+  GET  /healthz  → {"ok": true}
+  GET  /stats    → batcher latency/occupancy counters.
+
+Scorer plumbing is callable-agnostic: anything mapping a float32
+(B, H, W, 3) array to a tuple of per-row arrays serves — a deserialized
+AOT artifact (ServedScorer), a live InferenceEngine closure, or a test
+stub.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Callable, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+class _Request:
+    __slots__ = ("image", "event", "result", "error", "t_submit")
+
+    def __init__(self, image: np.ndarray):
+        self.image = image
+        self.event = threading.Event()
+        self.result: Optional[Tuple[np.ndarray, ...]] = None
+        self.error: Optional[BaseException] = None
+        self.t_submit = time.perf_counter()
+
+
+class BatchingScorer:
+    """Dynamic batcher around a fixed-batch scoring callable."""
+
+    def __init__(
+        self,
+        score_fn: Callable[[np.ndarray], Sequence[np.ndarray]],
+        batch: int,
+        max_delay_ms: float = 5.0,
+    ):
+        self._score_fn = score_fn
+        self.batch = int(batch)
+        self.max_delay = max_delay_ms / 1e3
+        self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
+        self._lock = threading.Lock()
+        self._latencies: list = []
+        self._occupancies: list = []
+        self._closed = False
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    # -- client side ---------------------------------------------------------
+
+    def submit(self, image: np.ndarray) -> _Request:
+        if self._closed:
+            raise RuntimeError("scorer is closed")
+        req = _Request(np.asarray(image, dtype=np.float32))
+        self._queue.put(req)
+        return req
+
+    def score(self, image: np.ndarray, timeout: float = 60.0):
+        """Blocking single-image scoring: tuple of per-image results."""
+        req = self.submit(image)
+        if not req.event.wait(timeout):
+            raise TimeoutError("scoring timed out")
+        if req.error is not None:
+            raise req.error
+        return tuple(r[0] for r in req.result)
+
+    def stats(self) -> dict:
+        with self._lock:
+            lat = sorted(self._latencies[-1024:])
+            occ = self._occupancies[-1024:]
+        pct = lambda p: (lat[min(int(p * len(lat)), len(lat) - 1)] * 1e3
+                         if lat else None)
+        return {
+            "requests": len(self._latencies),
+            "batches": len(self._occupancies),
+            "mean_batch_occupancy": float(np.mean(occ)) if occ else None,
+            "latency_ms_p50": pct(0.50),
+            "latency_ms_p95": pct(0.95),
+        }
+
+    def close(self):
+        if not self._closed:
+            self._closed = True
+            self._queue.put(None)
+            self._thread.join(timeout=10)
+
+    # -- collector thread ----------------------------------------------------
+
+    def _loop(self):
+        while True:
+            req = self._queue.get()
+            if req is None:
+                return
+            reqs = [req]
+            deadline = time.perf_counter() + self.max_delay
+            while len(reqs) < self.batch:
+                budget = deadline - time.perf_counter()
+                if budget <= 0:
+                    break
+                try:
+                    nxt = self._queue.get(timeout=budget)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._run(reqs)
+                    return
+                reqs.append(nxt)
+            self._run(reqs)
+
+    def _run(self, reqs):
+        n = len(reqs)
+        try:
+            x = np.stack([r.image for r in reqs])
+            if n < self.batch:
+                x = np.pad(x, ((0, self.batch - n),) + ((0, 0),) * 3)
+            results = tuple(np.asarray(r) for r in self._score_fn(x))
+            now = time.perf_counter()
+            with self._lock:
+                self._occupancies.append(n / self.batch)
+                self._latencies.extend(now - r.t_submit for r in reqs)
+            for i, r in enumerate(reqs):
+                r.result = tuple(res[i : i + 1] for res in results)
+                r.event.set()
+        except BaseException as e:  # propagate to every waiter
+            for r in reqs:
+                r.error = e
+                r.event.set()
+
+
+# -- HTTP front end ----------------------------------------------------------
+
+
+def _decode_image(body: bytes, imsize: Tuple[int, int]) -> np.ndarray:
+    """Request body → (H, W, 3) float32 in [0,1]."""
+    if body[:6] == b"\x93NUMPY":
+        arr = np.load(io.BytesIO(body))
+        if arr.ndim != 3 or arr.shape[-1] != 3:
+            raise ValueError(f"npy body must be (H, W, 3), got {arr.shape}")
+        return np.asarray(arr, dtype=np.float32)
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(body)).convert("RGB")
+    if img.size != (imsize[1], imsize[0]):
+        img = img.resize((imsize[1], imsize[0]), Image.BICUBIC)
+    return np.asarray(img, dtype=np.float32) / 255.0
+
+
+def _heatmap_png_b64(amap: np.ndarray) -> str:
+    import base64
+
+    from PIL import Image
+
+    lo, hi = float(amap.min()), float(amap.max())
+    norm = (amap - lo) / (hi - lo + 1e-12)
+    buf = io.BytesIO()
+    Image.fromarray((norm * 255).astype(np.uint8)).save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode("ascii")
+
+
+class AnomalyHTTPServer:
+    """Bind a BatchingScorer to an HTTP port.  `port=0` picks a free
+    port (read it back from `.port`)."""
+
+    def __init__(
+        self,
+        scorer: BatchingScorer,
+        meta: dict,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        score_timeout: float = 60.0,
+    ):
+        self.scorer = scorer
+        self.meta = meta
+        self.score_timeout = float(score_timeout)
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args):  # quiet
+                pass
+
+            def _json(self, code: int, payload: dict):
+                body = json.dumps(payload).encode("utf-8")
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    self._json(200, {"ok": True, "mode": outer.meta.get("mode")})
+                elif self.path == "/stats":
+                    self._json(200, outer.scorer.stats())
+                else:
+                    self._json(404, {"error": f"no route {self.path}"})
+
+            def do_POST(self):
+                path, _, query = self.path.partition("?")
+                if path != "/score":
+                    self._json(404, {"error": f"no route {path}"})
+                    return
+                try:
+                    length = int(self.headers.get("Content-Length", "0"))
+                    body = self.rfile.read(length)
+                    image = _decode_image(body, tuple(outer.meta["imsize"]))
+                    t0 = time.perf_counter()
+                    result = outer.scorer.score(
+                        image, timeout=outer.score_timeout
+                    )
+                    ms = (time.perf_counter() - t0) * 1e3
+                    if outer.meta.get("mode") == "patch":
+                        amap = np.asarray(result[0])
+                        payload = {
+                            "map_max": float(amap.max()),
+                            "map_mean": float(amap.mean()),
+                            "ms": round(ms, 3),
+                        }
+                        if "heatmap=1" in query:
+                            payload["heatmap_b64"] = _heatmap_png_b64(amap)
+                    else:
+                        score, label = result[0], result[1]
+                        payload = {
+                            "score": float(score),
+                            "label": int(label),
+                            "threshold": outer.meta.get("threshold"),
+                            "ms": round(ms, 3),
+                        }
+                        if len(result) > 2:
+                            payload["logits"] = np.asarray(result[2]).tolist()
+                    self._json(200, payload)
+                except Exception as e:
+                    self._json(400, {"error": repr(e)})
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self.port = self._httpd.server_address[1]
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+
+    def start(self):
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        self.scorer.close()
