@@ -349,6 +349,20 @@ def cmd_infer(args) -> int:
     return 0
 
 
+def _serving_compile_cache():
+    """Persistent XLA compile cache for the serving commands: the first
+    TPU compile goes through a remote tunnel (20 s–minutes), and a
+    serving host must not re-pay it on every restart."""
+    import os
+
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("SSAD_JAX_CACHE", "/tmp/ssad_tpu_jax_cache"),
+    )
+
+
 def cmd_export(args) -> int:
     """Checkpoint → self-contained AOT serving artifact (weights + bank
     + calibrated threshold baked into one serialized StableHLO program;
@@ -356,6 +370,7 @@ def cmd_export(args) -> int:
     its inference is a live Lightning predict loop (tools.py:310-390)."""
     from ssad_tpu.serving.export import export_checkpoint
 
+    _serving_compile_cache()
     ckpt = str(Path(args.models_dir) / args.subject / "best_model")
     out = args.out or str(
         Path(args.models_dir) / args.subject / f"{args.subject}_{args.mode}.ssadexp"
@@ -364,7 +379,10 @@ def cmd_export(args) -> int:
         ckpt, out, mode=args.mode, batch=args.batch,
         imsize=(args.imsize, args.imsize) if args.imsize else None,
         k=args.knn_k, platform=args.export_platform,
-        patch_dim=args.patch_dim, stride=args.stride, seed=args.seed,
+        patch_dim=args.patch_dim, stride=args.stride,
+        dataset_dir=args.dataset_dir,
+        n_normality_images=args.n_normality_images,
+        dtype=args.dtype, seed=args.seed,
     )
     print(json.dumps({
         "artifact": path,
@@ -382,6 +400,7 @@ def cmd_serve(args) -> int:
     from ssad_tpu.serving.export import load_scorer
     from ssad_tpu.serving.server import AnomalyHTTPServer, BatchingScorer
 
+    _serving_compile_cache()
     scorer = load_scorer(args.artifact)
     # compile before accepting traffic: the first execution of a
     # deserialized program triggers (remote-tunneled) compilation that
@@ -609,6 +628,17 @@ def build_parser() -> argparse.ArgumentParser:
                     help="artifact path (default: "
                          "<models-dir>/<subject>/<subject>_<mode>.ssadexp)")
     ex.add_argument("--mode", default="image", choices=["image", "patch"])
+    ex.add_argument("--dataset-dir", default=None,
+                    help="MVTec root — REQUIRED for --mode patch (patch "
+                         "normality is re-embedded from training images; "
+                         "the checkpoint's bank holds whole-image "
+                         "embeddings, the wrong distribution)")
+    ex.add_argument("--n-normality-images", type=int, default=None,
+                    help="cap the training images embedded for patch "
+                         "normality (default: all)")
+    ex.add_argument("--dtype", default=None, choices=["bfloat16"],
+                    help="cast baked weights for serving (halves the "
+                         "artifact; bank + k-NN stay f32)")
     ex.add_argument("--batch", type=int, default=8,
                     help="fixed serving batch the program is compiled for")
     ex.add_argument("--imsize", type=int, default=None,

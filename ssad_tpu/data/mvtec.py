@@ -22,11 +22,14 @@ from ssad_tpu.data import masks as masks_mod
 from ssad_tpu.utils import filesystem as fs
 
 
-def load_image(path: str | Path, imsize: Tuple[int, int]) -> np.ndarray:
-    """Decode + resize one image to (H, W, 3) float32 in [0, 1].
+def load_image(path, imsize: Tuple[int, int]) -> np.ndarray:
+    """Decode + resize one image (path or binary file object) to
+    (H, W, 3) float32 in [0, 1].
 
     Matches the reference's PIL open→resize→convert('RGB') order
-    (datasets.py:69, :211-213; PIL resize default = bicubic).
+    (datasets.py:69, :211-213; PIL resize default = bicubic).  The
+    serving HTTP front end routes request bodies through this same
+    function so served scores can't skew against the evaluator.
     """
     from PIL import Image
 

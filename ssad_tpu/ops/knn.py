@@ -121,6 +121,33 @@ import os as _os
 
 _FORCE_PALLAS = _os.environ.get("SSAD_FORCE_PALLAS") == "1"
 
+# trace-time dispatch override for cross-platform lowering: the choice
+# below keys on jax.default_backend(), which `jax.default_device(...)`
+# does NOT change — so a TPU host exporting a CPU serving artifact
+# (serving/export.py) must force the XLA path explicitly or the Pallas
+# custom call fails to lower for the CPU target.
+_IMPL_OVERRIDE = None
+
+
+import contextlib as _contextlib
+
+
+@_contextlib.contextmanager
+def force_impl(impl):
+    """Force k-NN dispatch to ``'pallas'`` / ``'xla'`` (``None`` resets)
+    for traces started inside the context.  Remember that jit CACHES by
+    trace: a function first traced inside the context keeps that
+    dispatch choice afterwards."""
+    global _IMPL_OVERRIDE
+    if impl not in (None, "pallas", "xla"):
+        raise ValueError(f"impl must be 'pallas', 'xla' or None, got {impl!r}")
+    prev = _IMPL_OVERRIDE
+    _IMPL_OVERRIDE = impl
+    try:
+        yield
+    finally:
+        _IMPL_OVERRIDE = prev
+
 
 def knn_cosine_scores(queries: jax.Array, bank: jax.Array, k: int = 3) -> jax.Array:
     """Dispatch to the Pallas kernel on TPU, XLA elsewhere.
@@ -130,6 +157,10 @@ def knn_cosine_scores(queries: jax.Array, bank: jax.Array, k: int = 3) -> jax.Ar
     actually executes); otherwise a broken kernel warns once and
     degrades to the XLA implementation.
     """
+    if _IMPL_OVERRIDE == "xla":
+        return knn_cosine_scores_xla(queries, bank, k=k)
+    if _IMPL_OVERRIDE == "pallas":
+        return knn_cosine_scores_pallas(queries, bank, k=k)
     force = _FORCE_PALLAS
     if force or jax.default_backend() == "tpu":
         try:

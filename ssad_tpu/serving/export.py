@@ -15,9 +15,10 @@ An artifact bundles, in one file:
     platform, and the framework version;
   * the serialized exported program, with the trained weights AND the
     fitted normality bank baked in as constants (a ResNet-18 artifact
-    is ~25 MB; self-containment beats the weights-as-arguments rule the
-    live `InferenceEngine` follows, because a serving binary wants one
-    file, not a checkpoint directory).
+    is ~50 MB f32, ~25 MB with ``dtype='bfloat16'``; self-containment
+    beats the weights-as-arguments rule the live `InferenceEngine`
+    follows, because a serving binary wants one file, not a checkpoint
+    directory).
 
 The exported callable maps RAW [0,1] float images (B, H, W, 3) —
 ImageNet normalization happens inside the program:
@@ -30,10 +31,12 @@ ImageNet normalization happens inside the program:
     `InferenceEngine.score_patch_maps`.
 
 Platform note: kernel dispatch (Pallas vs XLA k-NN, ops/knn.py) is
-resolved at TRACE time from the active backend, so an artifact is
-lowered for the platform that exports it (TPU host → TPU artifact).
-Pass ``platform='cpu'`` on a TPU host to cross-lower a CPU artifact —
-the k-NN falls to the XLA path under `jax.default_device`.
+resolved at TRACE time from the active backend — which
+`jax.default_device` does NOT change — so cross-lowering pins the
+dispatch explicitly via `knn.force_impl`: a TPU-host export for
+``platform='cpu'`` bakes the XLA k-NN (the Pallas custom call cannot
+lower for CPU).  Cross-lowering requires a local device of the target
+platform; a CPU-only host cannot emit TPU artifacts.
 """
 
 from __future__ import annotations
@@ -52,14 +55,31 @@ _MAGIC = b"SSADEXP1"
 
 
 def _scorer_fn(engine, bank, threshold: float, k: int, mode: str,
-               patch_dim: int, stride: int, upsample_to: Optional[int]):
+               patch_dim: int, stride: int, upsample_to: Optional[int],
+               dtype: Optional[str] = None):
     """The raw-image scoring closure that gets traced and exported.
     Weights/bank ride as closure constants (baked into the program)."""
     from ssad_tpu.ops import image as im
     from ssad_tpu.ops.knn import knn_cosine_scores
 
     variables = engine._variables
-    bank = jnp.asarray(bank)
+    if dtype is not None:
+        # serving weight cast (e.g. bf16): halves the artifact and the
+        # weight traffic of the memory-bound forward.  The bank and the
+        # k-NN stay f32 (scores are 1−cos with cos≈1 — see ops note).
+        # materialize as jax arrays: numpy closure constants (e.g. from
+        # an Orbax-restored checkpoint) get eagerly const-folded through
+        # the model's f32 promotion at trace time, re-inflating the
+        # baked weights back to f32 — jax.Array constants stay bf16 in
+        # the exported module (measured: 50.8 vs 25.5 MB for ResNet-18)
+        target = jnp.dtype(dtype)
+        variables = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x, target)
+            if jnp.issubdtype(jnp.result_type(x), jnp.floating)
+            else jnp.asarray(x),
+            variables,
+        )
+    bank = jnp.asarray(bank, jnp.float32)
 
     if mode == "image":
 
@@ -97,22 +117,44 @@ def export_scorer(
     stride: int = 8,
     upsample_to: Optional[int] = None,
     platform: Optional[str] = None,
+    dtype: Optional[str] = None,
 ) -> Tuple["jax.export.Exported", dict]:
     """Trace + lower the scoring program for ONE fixed input geometry.
 
     Fixed shapes are deliberate (serving pads to `batch`; one
     compilation, no shape-polymorphic recompiles on the hot path).
-    Returns (Exported, header_meta).
+    ``dtype='bfloat16'`` casts the baked weights for serving (bank and
+    k-NN stay f32).  Returns (Exported, header_meta).
     """
+    import contextlib
+
     from jax import export as jexp
 
-    platform = platform or jax.default_backend()
+    from ssad_tpu.ops import knn as knn_mod
+
+    host = jax.default_backend()
+    platform = platform or host
+    try:
+        device = jax.local_devices(backend=platform)[0]
+    except RuntimeError as e:
+        raise ValueError(
+            f"no local {platform!r} device to lower against ({e}); "
+            "cross-lowering needs a local device of the target platform "
+            "(a CPU-only host cannot emit TPU artifacts)"
+        ) from None
     if upsample_to is None and mode == "patch":
         upsample_to = imsize[0]
     fn = _scorer_fn(engine, bank, threshold, k, mode, patch_dim, stride,
-                    upsample_to)
+                    upsample_to, dtype=dtype)
     spec = jax.ShapeDtypeStruct((batch, imsize[0], imsize[1], 3), jnp.float32)
-    with jax.default_device(jax.local_devices(backend=platform)[0]):
+    # kernel dispatch keys on jax.default_backend(), which the
+    # default_device context does NOT change — pin it for cross-lowering
+    knn_impl = "pallas" if platform == "tpu" else "xla"
+    impl_ctx = (
+        knn_mod.force_impl(knn_impl) if platform != host
+        else contextlib.nullcontext()
+    )
+    with impl_ctx, jax.default_device(device):
         exported = jexp.export(jax.jit(fn), platforms=(platform,))(spec)
     meta = {
         "format": "ssad_tpu.serving/1",
@@ -125,6 +167,8 @@ def export_scorer(
         "stride": stride,
         "upsample_to": upsample_to,
         "platform": platform,
+        "knn_impl": knn_impl,
+        "weights_dtype": dtype or "float32",
         "num_classes": engine.model.num_classes,
     }
     return exported, meta
@@ -234,28 +278,69 @@ def export_checkpoint(
     stride: int = 8,
     normality: Optional[np.ndarray] = None,
     threshold: Optional[float] = None,
+    dataset_dir: Optional[str] = None,
+    n_normality_images: Optional[int] = None,
+    dtype: Optional[str] = None,
     seed: int = 0,
 ) -> str:
     """Checkpoint directory → serving artifact (the `cli export` body).
 
-    The detector is fitted here, once, at export time: normality rows
-    come from the checkpoint's memory bank (or an explicit `normality`
-    array), split 70/30 with the threshold calibrated on the val part —
-    the same fit the evaluators run per-session, moved offline.
+    The detector is fitted here, once, at export time, with the same
+    normality policy the evaluators use per-session
+    (evaluation/evaluator.py image vs patch branches), moved offline:
+
+    * image mode → rows from the checkpoint's memory bank (whole-image
+      eval-mode embeddings), or an explicit ``normality`` array;
+    * patch mode → the bank holds the WRONG distribution (whole-image
+      embeddings, not patch embeddings — the evaluator always re-embeds
+      patches, evaluator.py `min_bank_rows=10**9`), so patch normality
+      is re-embedded here from the training images: pass
+      ``dataset_dir`` (subject comes from the checkpoint config) or an
+      explicit patch-embedding ``normality`` array.
+
+    The 70/30 split threshold calibration matches the evaluator's fit.
     """
-    from ssad_tpu.evaluation.inference import load_engine
+    from ssad_tpu.evaluation import inference as inf
     from ssad_tpu.models.detector import AnomalyDetector
     from ssad_tpu.train.memory_bank import newest_first
 
-    engine, bank, cfg = load_engine(checkpoint_path)
-    if normality is None:
-        if bank is None or int(bank.count) == 0:
-            raise ValueError(
-                f"{checkpoint_path} has no memory bank; pass `normality`"
-            )
-        normality = np.asarray(newest_first(bank))
+    engine, bank, cfg = inf.load_engine(checkpoint_path)
     if imsize is None:
         imsize = tuple(cfg.data.imsize) if cfg is not None else (256, 256)
+    if normality is None:
+        if mode == "patch":
+            if dataset_dir is None:
+                raise ValueError(
+                    "patch-mode export needs patch-embedding normality: "
+                    "pass dataset_dir (to re-embed training images, the "
+                    "evaluator's policy) or an explicit `normality` "
+                    "array — the checkpoint's memory bank holds "
+                    "whole-image embeddings, the wrong distribution for "
+                    "patch scoring"
+                )
+            from ssad_tpu.data import mvtec
+
+            subject = cfg.data.subject if cfg is not None else None
+            if not subject:
+                raise ValueError(
+                    f"{checkpoint_path} has no subject in its config; "
+                    "cannot locate training images under dataset_dir"
+                )
+            data = mvtec.prepare_pretext_data(
+                dataset_dir, subject, imsize=imsize
+            )
+            normality = inf.normality_embeddings(
+                engine, None, data, batch_size=4,
+                patch_localization=True, patch_dim=patch_dim, stride=stride,
+                min_bank_rows=10**9, max_images=n_normality_images,
+                seed=seed,
+            )
+        else:
+            if bank is None or int(bank.count) == 0:
+                raise ValueError(
+                    f"{checkpoint_path} has no memory bank; pass `normality`"
+                )
+            normality = np.asarray(newest_first(bank))
     if k is None:
         from ssad_tpu.config import EvalConfig
 
@@ -265,6 +350,7 @@ def export_checkpoint(
     exported, meta = export_scorer(
         engine, det.bank, mode=mode, batch=batch, imsize=imsize, k=k,
         threshold=thr, patch_dim=patch_dim, stride=stride, platform=platform,
+        dtype=dtype,
     )
     meta["checkpoint"] = str(checkpoint_path)
     return save_artifact(out_path, exported, meta)

@@ -60,13 +60,18 @@ class BatchingScorer:
         batch: int,
         max_delay_ms: float = 5.0,
     ):
+        import collections
+
         self._score_fn = score_fn
         self.batch = int(batch)
         self.max_delay = max_delay_ms / 1e3
         self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self._lock = threading.Lock()
-        self._latencies: list = []
-        self._occupancies: list = []
+        # bounded: a serving daemon must not grow metrics without limit
+        self._latencies = collections.deque(maxlen=1024)
+        self._occupancies = collections.deque(maxlen=1024)
+        self._n_requests = 0
+        self._n_batches = 0
         self._closed = False
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
@@ -90,14 +95,17 @@ class BatchingScorer:
         return tuple(r[0] for r in req.result)
 
     def stats(self) -> dict:
+        """Totals are lifetime counters; percentiles/occupancy are over
+        the last ≤1024 requests/batches (bounded memory)."""
         with self._lock:
-            lat = sorted(self._latencies[-1024:])
-            occ = self._occupancies[-1024:]
+            lat = sorted(self._latencies)
+            occ = list(self._occupancies)
+            n_req, n_bat = self._n_requests, self._n_batches
         pct = lambda p: (lat[min(int(p * len(lat)), len(lat) - 1)] * 1e3
                          if lat else None)
         return {
-            "requests": len(self._latencies),
-            "batches": len(self._occupancies),
+            "requests": n_req,
+            "batches": n_bat,
             "mean_batch_occupancy": float(np.mean(occ)) if occ else None,
             "latency_ms_p50": pct(0.50),
             "latency_ms_p95": pct(0.95),
@@ -108,6 +116,20 @@ class BatchingScorer:
             self._closed = True
             self._queue.put(None)
             self._thread.join(timeout=10)
+            # requests that raced past the _closed check in submit() may
+            # sit behind the sentinel — fail them fast instead of
+            # leaving their callers to block out the full score timeout
+            self._cancel_pending()
+
+    def _cancel_pending(self):
+        while True:
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                return
+            if req is not None:
+                req.error = RuntimeError("scorer is closed")
+                req.event.set()
 
     # -- collector thread ----------------------------------------------------
 
@@ -115,6 +137,7 @@ class BatchingScorer:
         while True:
             req = self._queue.get()
             if req is None:
+                self._cancel_pending()
                 return
             reqs = [req]
             deadline = time.perf_counter() + self.max_delay
@@ -128,6 +151,7 @@ class BatchingScorer:
                     break
                 if nxt is None:
                     self._run(reqs)
+                    self._cancel_pending()
                     return
                 reqs.append(nxt)
             self._run(reqs)
@@ -143,6 +167,8 @@ class BatchingScorer:
             with self._lock:
                 self._occupancies.append(n / self.batch)
                 self._latencies.extend(now - r.t_submit for r in reqs)
+                self._n_batches += 1
+                self._n_requests += n
             for i, r in enumerate(reqs):
                 r.result = tuple(res[i : i + 1] for res in results)
                 r.event.set()
@@ -156,18 +182,28 @@ class BatchingScorer:
 
 
 def _decode_image(body: bytes, imsize: Tuple[int, int]) -> np.ndarray:
-    """Request body → (H, W, 3) float32 in [0,1]."""
+    """Request body → (H, W, 3) float32 in [0,1].
+
+    Geometry is validated HERE, before the request enters the batcher:
+    a wrong-shaped array inside a batch would fail the whole batch and
+    take innocent co-batched requests down with it.
+
+    Encoded images go through `mvtec.load_image` — the SAME
+    open→resize→convert decode the training/evaluation pipeline uses
+    (its order matters for palette/RGBA inputs; a serving-side
+    reimplementation would skew scores vs. the evaluator).
+    """
     if body[:6] == b"\x93NUMPY":
         arr = np.load(io.BytesIO(body))
-        if arr.ndim != 3 or arr.shape[-1] != 3:
-            raise ValueError(f"npy body must be (H, W, 3), got {arr.shape}")
+        if arr.shape != (imsize[0], imsize[1], 3):
+            raise ValueError(
+                f"npy body must be ({imsize[0]}, {imsize[1]}, 3) to match "
+                f"the model geometry, got {arr.shape}"
+            )
         return np.asarray(arr, dtype=np.float32)
-    from PIL import Image
+    from ssad_tpu.data.mvtec import load_image
 
-    img = Image.open(io.BytesIO(body)).convert("RGB")
-    if img.size != (imsize[1], imsize[0]):
-        img = img.resize((imsize[1], imsize[0]), Image.BICUBIC)
-    return np.asarray(img, dtype=np.float32) / 255.0
+    return load_image(io.BytesIO(body), imsize)
 
 
 def _heatmap_png_b64(amap: np.ndarray) -> str:
@@ -224,10 +260,17 @@ class AnomalyHTTPServer:
                 if path != "/score":
                     self._json(404, {"error": f"no route {path}"})
                     return
+                # client errors (bad body/geometry) → 400; scoring
+                # timeouts → 504; internal scorer faults → 500 (load
+                # balancers and retry logic key on the 4xx/5xx split)
                 try:
                     length = int(self.headers.get("Content-Length", "0"))
                     body = self.rfile.read(length)
                     image = _decode_image(body, tuple(outer.meta["imsize"]))
+                except Exception as e:
+                    self._json(400, {"error": repr(e)})
+                    return
+                try:
                     t0 = time.perf_counter()
                     result = outer.scorer.score(
                         image, timeout=outer.score_timeout
@@ -253,10 +296,19 @@ class AnomalyHTTPServer:
                         if len(result) > 2:
                             payload["logits"] = np.asarray(result[2]).tolist()
                     self._json(200, payload)
+                except TimeoutError as e:
+                    self._json(504, {"error": repr(e)})
                 except Exception as e:
-                    self._json(400, {"error": repr(e)})
+                    self._json(500, {"error": repr(e)})
 
-        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        class Server(ThreadingHTTPServer):
+            # the stdlib default TCP listen backlog (5) drops/resets
+            # connections under concurrent request bursts — exactly the
+            # load pattern the dynamic batcher exists to absorb
+            # (measured: 1 reset in a 24-way burst on a 1-core host)
+            request_queue_size = 128
+
+        self._httpd = Server((host, port), Handler)
         self.port = self._httpd.server_address[1]
         self._thread = threading.Thread(
             target=self._httpd.serve_forever, daemon=True

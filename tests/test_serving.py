@@ -105,6 +105,30 @@ class TestBatchingScorer:
         with pytest.raises(RuntimeError):
             sc.submit(np.zeros((2, 2, 3), np.float32))
 
+    def test_requests_behind_close_sentinel_fail_fast(self):
+        """A request racing close() must get an immediate error, not
+        block out the full score timeout."""
+        sc = self._make()
+        sc._closed = True  # simulate the race: submit won the check...
+        sc._closed = False
+        req = sc.submit(np.zeros((2, 2, 3), np.float32))
+        # ...but close()'s sentinel could land first in a real race;
+        # either way close() must complete or cancel everything queued
+        sc.close()
+        assert req.event.wait(5)
+        assert req.error is not None or req.result is not None
+
+    def test_stats_window_is_bounded(self):
+        sc = self._make(batch=1, max_delay_ms=0.1)
+        try:
+            for _ in range(20):
+                sc.score(np.ones((2, 2, 3), np.float32))
+            assert sc.stats()["requests"] == 20
+            assert sc._latencies.maxlen == 1024
+            assert sc._occupancies.maxlen == 1024
+        finally:
+            sc.close()
+
 
 # ---------------------------------------------------------------------------
 # HTTP front end (stub scorer)
@@ -172,6 +196,80 @@ class TestHTTPServer:
         with pytest.raises(urllib.error.HTTPError) as exc:
             urllib.request.urlopen(req, timeout=30)
         assert exc.value.code == 400
+
+    def test_wrong_npy_geometry_is_400_before_batching(self, image_server):
+        """A mis-shaped npy must be rejected at decode time — inside a
+        batch it would take innocent co-batched requests down."""
+        arr = np.zeros((16, 16, 3), np.float32)  # model is 8×8
+        buf = io.BytesIO()
+        np.save(buf, arr)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{image_server.port}/score",
+            data=buf.getvalue(),
+            method="POST",
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req, timeout=30)
+        assert exc.value.code == 400
+        assert "(8, 8, 3)" in exc.value.read().decode()
+        # the server still works for well-formed requests
+        good = np.ones((8, 8, 3), np.float32)
+        buf = io.BytesIO()
+        np.save(buf, good)
+        out = _post(image_server.port, "/score", buf.getvalue())
+        assert out["score"] == pytest.approx(8 * 8 * 3)
+
+    def test_scoring_timeout_is_504(self):
+        import time as _time
+
+        from ssad_tpu.serving.server import AnomalyHTTPServer, BatchingScorer
+
+        def slow(x):
+            _time.sleep(1.0)
+            return _sum_scorer(x)
+
+        sc = BatchingScorer(slow, batch=1, max_delay_ms=0.1)
+        srv = AnomalyHTTPServer(
+            sc, {"mode": "image", "imsize": [8, 8]}, port=0, score_timeout=0.05
+        ).start()
+        try:
+            buf = io.BytesIO()
+            np.save(buf, np.zeros((8, 8, 3), np.float32))
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{srv.port}/score",
+                data=buf.getvalue(), method="POST",
+            )
+            with pytest.raises(urllib.error.HTTPError) as exc:
+                urllib.request.urlopen(req, timeout=30)
+            assert exc.value.code == 504
+        finally:
+            srv.stop()
+
+    def test_concurrent_burst_no_resets(self, image_server):
+        """A 32-way simultaneous burst must not drop connections (the
+        stdlib listen backlog default of 5 resets connections under
+        exactly the load the batcher exists to absorb)."""
+        import threading
+
+        buf = io.BytesIO()
+        np.save(buf, np.ones((8, 8, 3), np.float32))
+        body = buf.getvalue()
+        errs, outs = [], []
+
+        def hit():
+            try:
+                outs.append(_post(image_server.port, "/score", body))
+            except Exception as e:  # pragma: no cover - failure path
+                errs.append(e)
+
+        threads = [threading.Thread(target=hit) for _ in range(32)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errs
+        assert len(outs) == 32
+        assert all(o["score"] == pytest.approx(8 * 8 * 3) for o in outs)
 
     def test_unknown_route_is_404(self, image_server):
         with pytest.raises(urllib.error.HTTPError) as exc:
@@ -283,6 +381,51 @@ class TestExportRoundtrip:
         )
         np.testing.assert_allclose(maps, ref, rtol=1e-4, atol=1e-5)
 
+    def test_bf16_weight_cast(self, tiny_engine, tmp_path):
+        """--dtype bfloat16 shrinks the artifact and perturbs scores
+        only at bf16 noise level (the backbone computes in its
+        compute_dtype either way; the bank and k-NN stay f32)."""
+        from ssad_tpu.serving.export import export_scorer, load_scorer, save_artifact
+
+        engine, bank = tiny_engine
+        kw = dict(mode="image", batch=2, imsize=(64, 64), k=3, threshold=0.5)
+        exp32, meta32 = export_scorer(engine, bank, **kw)
+        exp16, meta16 = export_scorer(engine, bank, dtype="bfloat16", **kw)
+        assert meta16["weights_dtype"] == "bfloat16"
+        p32 = save_artifact(tmp_path / "f32.ssadexp", exp32, meta32)
+        p16 = save_artifact(tmp_path / "bf16.ssadexp", exp16, meta16)
+        import os
+
+        assert os.path.getsize(p16) < 0.7 * os.path.getsize(p32)
+        imgs = np.random.default_rng(7).uniform(size=(2, 64, 64, 3)).astype(np.float32)
+        s32 = load_scorer(p32)(imgs)[0]
+        s16 = load_scorer(p16)(imgs)[0]
+        np.testing.assert_allclose(s16, s32, atol=0.02)
+
+    def test_cross_lowering_without_local_device_errors(self, tiny_engine):
+        from ssad_tpu.serving.export import export_scorer
+
+        engine, bank = tiny_engine
+        with pytest.raises(ValueError, match="no local 'tpu' device"):
+            export_scorer(engine, bank, mode="image", batch=1,
+                          imsize=(64, 64), platform="tpu")
+
+    def test_knn_force_impl(self):
+        import jax.numpy as jnp
+
+        from ssad_tpu.ops import knn
+
+        q = jnp.asarray(np.random.default_rng(0).normal(size=(4, 32)), jnp.float32)
+        b = jnp.asarray(np.random.default_rng(1).normal(size=(10, 32)), jnp.float32)
+        base = np.asarray(knn.knn_cosine_scores(q, b, k=3))
+        with knn.force_impl("xla"):
+            forced = np.asarray(knn.knn_cosine_scores(q, b, k=3))
+        np.testing.assert_allclose(forced, base, rtol=1e-6)
+        assert knn._IMPL_OVERRIDE is None
+        with pytest.raises(ValueError):
+            with knn.force_impl("cuda"):
+                pass
+
     def test_artifact_rejects_garbage(self, tmp_path):
         from ssad_tpu.serving.export import load_scorer
 
@@ -309,34 +452,78 @@ class TestExportRoundtrip:
 # ---------------------------------------------------------------------------
 
 
+@pytest.fixture(scope="module")
+def tiny_checkpoint(tiny_engine, tmp_path_factory):
+    """tiny_engine saved as a 'bottle' checkpoint with a full bank."""
+    import jax.numpy as jnp
+
+    from ssad_tpu import config
+    from ssad_tpu.train import checkpoint as ckpt_mod
+    from ssad_tpu.train.memory_bank import MemoryBank
+
+    engine, bank_rows = tiny_engine
+    bank = MemoryBank(
+        data=jnp.asarray(bank_rows),
+        cursor=jnp.zeros((), jnp.int32),
+        count=jnp.asarray(bank_rows.shape[0], jnp.int32),
+    )
+    cfg = config.TrainConfig(
+        data=config.DataConfig(
+            dataset_dir="unused", subject="bottle", imsize=(64, 64)
+        ),
+        model=config.ModelConfig(compute_dtype="float32"),
+    )
+    models = tmp_path_factory.mktemp("serving_models")
+    ckpt_mod.save_checkpoint(
+        models / "bottle", engine.params, engine.batch_stats, bank, cfg
+    )
+    return models
+
+
+@pytest.mark.slow
+class TestExportCheckpoint:
+    def test_patch_mode_requires_patch_normality(self, tiny_checkpoint, tmp_path):
+        """The image-level memory bank holds whole-image embeddings —
+        the WRONG normality distribution for patch scoring (the
+        evaluator always re-embeds patches, evaluator.py
+        min_bank_rows=10**9); patch export must refuse to bake it."""
+        from ssad_tpu.serving.export import export_checkpoint
+
+        with pytest.raises(ValueError, match="patch-mode export"):
+            export_checkpoint(
+                str(tiny_checkpoint / "bottle" / "best_model"),
+                str(tmp_path / "p.ssadexp"), mode="patch",
+            )
+
+    def test_patch_mode_reembeds_from_dataset(
+        self, tiny_checkpoint, fake_mvtec, tmp_path
+    ):
+        from ssad_tpu.serving.export import export_checkpoint, load_scorer
+
+        path = export_checkpoint(
+            str(tiny_checkpoint / "bottle" / "best_model"),
+            str(tmp_path / "p.ssadexp"), mode="patch", batch=2,
+            patch_dim=16, stride=16, dataset_dir=str(fake_mvtec),
+            n_normality_images=2,
+        )
+        scorer = load_scorer(path)
+        assert scorer.meta["mode"] == "patch"
+        imgs = np.random.default_rng(4).uniform(size=(2, 64, 64, 3)).astype(np.float32)
+        (maps,) = scorer(imgs)
+        assert maps.shape == (2, 64, 64)
+        assert np.isfinite(maps).all()
+
+
 @pytest.mark.slow
 class TestCliExport:
-    def test_export_then_serve_roundtrip(self, tiny_engine, tmp_path, capsys):
-        import jax.numpy as jnp
-
-        from ssad_tpu import config
+    def test_export_then_serve_roundtrip(self, tiny_engine, tiny_checkpoint,
+                                         tmp_path, capsys):
         from ssad_tpu.cli import main
         from ssad_tpu.serving.export import load_scorer
         from ssad_tpu.serving.server import AnomalyHTTPServer, BatchingScorer
-        from ssad_tpu.train import checkpoint as ckpt_mod
-        from ssad_tpu.train.memory_bank import MemoryBank
 
-        engine, bank_rows = tiny_engine
-        bank = MemoryBank(
-            data=jnp.asarray(bank_rows),
-            cursor=jnp.zeros((), jnp.int32),
-            count=jnp.asarray(bank_rows.shape[0], jnp.int32),
-        )
-        cfg = config.TrainConfig(
-            data=config.DataConfig(
-                dataset_dir="unused", subject="bottle", imsize=(64, 64)
-            ),
-            model=config.ModelConfig(compute_dtype="float32"),
-        )
-        models = tmp_path / "models"
-        ckpt_mod.save_checkpoint(
-            models / "bottle", engine.params, engine.batch_stats, bank, cfg
-        )
+        engine, _ = tiny_engine
+        models = tiny_checkpoint
 
         rc = main([
             "export", "--models-dir", str(models), "--subject", "bottle",
