@@ -220,3 +220,7 @@ class EvalConfig:
     imsize: Tuple[int, int] = (256, 256)
     batch_size: int = 32
     seed: int = 0
+    #: data-parallel inference: shard scoring batches over this many
+    #: devices (parallel/infer_parallel.ShardedEngine); None/1 = single
+    #: device (the reference's only mode, tools.py:327 devices=1)
+    data_shards: Optional[int] = None

@@ -423,6 +423,10 @@ def evaluate_categories(
     results: Dict[str, CategoryResult] = {}
     for subject in subjects:
         engine, bank, _ = inf.load_engine(str(Path(models_dir) / subject / checkpoint_name))
+        if cfg.data_shards and cfg.data_shards > 1:
+            from ssad_tpu.parallel.infer_parallel import maybe_shard_engine
+
+            engine = maybe_shard_engine(engine, cfg.data_shards)
         data = mvtec.prepare_pretext_data(
             dataset_dir, subject, imsize=cfg.imsize, seed=cfg.seed
         )

@@ -112,6 +112,37 @@ class TestEvaluatePipeline:
         assert r.pixel_auroc is not None and 0.0 <= r.pixel_auroc <= 1.0
         assert np.isfinite(r.aupro) and np.isfinite(r.iou)
 
+    def test_patch_level_data_parallel_matches(self, fake_mvtec,
+                                               trained_checkpoint, tmp_path):
+        """EvalConfig.data_shards shards scoring over 4 virtual devices
+        through the duck-typed ShardedEngine; the category result must
+        match the single-device run (no collectives in the program)."""
+        from ssad_tpu.parallel.infer_parallel import maybe_shard_engine
+
+        path, _ = trained_checkpoint
+        engine, bank, _ = inf.load_engine(str(path))
+        data = mvtec.prepare_pretext_data(fake_mvtec, "bottle", imsize=(64, 64))
+        test = mvtec.prepare_mvtec_test_data(fake_mvtec, "bottle", imsize=(64, 64))
+        ecfg = config.EvalConfig(
+            patch_localization=True, patch_dim=16, stride=16,
+            imsize=(64, 64), batch_size=8, upsample_size=64,
+        )
+        r1 = evaluate_category(
+            engine, bank, data, test, ecfg, "bottle", n_normality_images=2
+        )
+        rn = evaluate_category(
+            maybe_shard_engine(engine, 4), bank, data, test, ecfg, "bottle",
+            n_normality_images=2,
+        )
+        # tolerance: the checkpoint computes in bf16, and XLA's fusion
+        # rounding differs between the local-shard and global-batch
+        # compilations — exact DP-vs-single equality is pinned by the
+        # float32 unit tests (test_infer_parallel.py); metric-level
+        # agreement is what matters here
+        assert rn.pixel_auroc == pytest.approx(r1.pixel_auroc, abs=1e-3)
+        assert rn.aupro == pytest.approx(r1.aupro, abs=1e-3)
+        assert rn.iou == pytest.approx(r1.iou, abs=1e-3)
+
     def test_localizer_both_modes(self, fake_mvtec, trained_checkpoint, tmp_path):
         path, _ = trained_checkpoint
         engine, bank, _ = inf.load_engine(str(path))
