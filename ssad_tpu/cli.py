@@ -20,6 +20,7 @@ exposes the full workflow:
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import sys
 from pathlib import Path
@@ -159,12 +160,19 @@ def cmd_train_multi(args) -> int:
 
     for subject, r in results.items():
         out = Path(args.outputs_dir) / subject
-        path = ckpt.save_checkpoint(out, r.params, r.batch_stats, r.bank, cfg)
+        # stamp THIS category into the saved config: the shared cfg was
+        # built from subjects[0], and downstream consumers key on it
+        # (export bakes meta["subject"] for /score/<name> routing;
+        # augmentation policy branches on fixed/non-fixed taxonomy)
+        sub_cfg = dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data, subject=subject)
+        )
+        path = ckpt.save_checkpoint(out, r.params, r.batch_stats, r.bank, sub_cfg)
         # identical per-category artifacts to `train`: best-val-loss
         # snapshot + loss/accuracy history plots
         if r.best_params is not None:
             ckpt.save_checkpoint(
-                out / "logs", r.best_params, r.best_batch_stats, None, cfg,
+                out / "logs", r.best_params, r.best_batch_stats, None, sub_cfg,
                 name="best_model_so_far",
             )
         vis.plot_history(
@@ -190,6 +198,7 @@ def cmd_evaluate(args) -> int:
         batch_size=args.batch_size,
         seed=args.seed,
         scorer=args.scorer,
+        data_shards=args.data_shards,
     )
     results = evaluate_categories(
         args.dataset_dir, args.models_dir, _subjects(args), cfg, args.outputs_dir
@@ -286,6 +295,10 @@ def cmd_infer(args) -> int:
     engine, bank, tcfg = inf.load_engine(
         str(Path(args.models_dir) / args.subject / "best_model")
     )
+    if args.data_shards and args.data_shards > 1:
+        from ssad_tpu.parallel.infer_parallel import maybe_shard_engine
+
+        engine = maybe_shard_engine(engine, args.data_shards)
     imsize = (args.imsize, args.imsize)
     patch = args.patch_level
     if args.artificial and patch:
@@ -401,24 +414,31 @@ def cmd_serve(args) -> int:
     from ssad_tpu.serving.server import AnomalyHTTPServer, BatchingScorer
 
     _serving_compile_cache()
-    scorer = load_scorer(args.artifact)
-    # compile before accepting traffic: the first execution of a
-    # deserialized program triggers (remote-tunneled) compilation that
-    # must not land on a live request's latency budget
-    warmup_s = scorer.warmup()
-    batcher = BatchingScorer(
-        scorer, batch=scorer.batch, max_delay_ms=args.max_delay_ms
-    )
+    models = {}
+    total_warmup = 0.0
+    for path in args.artifact:
+        scorer = load_scorer(path)
+        name = scorer.meta.get("subject") or Path(path).stem
+        if name in models:
+            raise SystemExit(f"duplicate model name {name!r} ({path})")
+        # compile before accepting traffic: the first execution of a
+        # deserialized program triggers (remote-tunneled) compilation
+        # that must not land on a live request's latency budget
+        total_warmup += scorer.warmup()
+        models[name] = (
+            BatchingScorer(scorer, batch=scorer.batch,
+                           max_delay_ms=args.max_delay_ms),
+            scorer.meta,
+        )
     server = AnomalyHTTPServer(
-        batcher, scorer.meta, host=args.host, port=args.port,
-        score_timeout=args.score_timeout,
+        host=args.host, port=args.port, score_timeout=args.score_timeout,
+        models=models,
     ).start()
     print(json.dumps({
         "host": args.host,
         "port": server.port,
-        "mode": scorer.meta.get("mode"),
-        "batch": scorer.batch,
-        "warmup_s": round(warmup_s, 2),
+        "models": {n: m.get("mode") for n, (_, m) in models.items()},
+        "warmup_s": round(total_warmup, 2),
     }), flush=True)
     try:
         while True:
@@ -586,6 +606,9 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--scorer", default="knn", choices=["knn", "mahalanobis"],
                    help="anomaly scorer: the reference's k-NN cosine "
                         "detector or the parametric Gaussian alternative")
+    e.add_argument("--data-shards", type=int, default=None,
+                   help="shard scoring batches over the first N devices "
+                        "(data-parallel inference via shard_map)")
     e.set_defaults(fn=cmd_evaluate)
 
     inf_p = sub.add_parser(
@@ -601,6 +624,9 @@ def build_parser() -> argparse.ArgumentParser:
                        help="k-NN neighbors for anomaly scoring "
                             "(models.py:354; keep in lockstep with evaluate)")
     inf_p.add_argument("--scorer", default="knn", choices=["knn", "mahalanobis"])
+    inf_p.add_argument("--data-shards", type=int, default=None,
+                       help="shard scoring batches over the first N devices "
+                            "(data-parallel inference via shard_map)")
     inf_p.set_defaults(fn=cmd_infer)
 
     pr = sub.add_parser(
@@ -657,7 +683,9 @@ def build_parser() -> argparse.ArgumentParser:
     sv = sub.add_parser(
         "serve", help="serve an exported artifact over HTTP (dynamic batching)"
     )
-    sv.add_argument("--artifact", required=True)
+    sv.add_argument("--artifact", required=True, nargs="+",
+                    help="one or more .ssadexp artifacts; several load "
+                         "behind one port, routed by POST /score/<subject>")
     sv.add_argument("--host", default="127.0.0.1")
     sv.add_argument("--port", type=int, default=8000)
     sv.add_argument("--max-delay-ms", type=float, default=5.0,

@@ -353,4 +353,6 @@ def export_checkpoint(
         dtype=dtype,
     )
     meta["checkpoint"] = str(checkpoint_path)
+    if cfg is not None and cfg.data.subject:
+        meta["subject"] = cfg.data.subject
     return save_artifact(out_path, exported, meta)

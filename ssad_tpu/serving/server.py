@@ -219,17 +219,33 @@ def _heatmap_png_b64(amap: np.ndarray) -> str:
 
 
 class AnomalyHTTPServer:
-    """Bind a BatchingScorer to an HTTP port.  `port=0` picks a free
-    port (read it back from `.port`)."""
+    """Bind one or many BatchingScorers to an HTTP port.  `port=0`
+    picks a free port (read it back from `.port`).
+
+    Single-model form (`AnomalyHTTPServer(scorer, meta)`) routes
+    `POST /score`.  Multi-model form (`models={name: (scorer, meta)}`)
+    adds `POST /score/<name>` — one process serves a whole category
+    sweep (the reference evaluates 15 MVTec categories; production
+    serving wants them behind one port, not 15 daemons).  `/score`
+    without a name keeps working while exactly one model is loaded.
+    """
 
     def __init__(
         self,
-        scorer: BatchingScorer,
-        meta: dict,
+        scorer: Optional[BatchingScorer] = None,
+        meta: Optional[dict] = None,
         host: str = "127.0.0.1",
         port: int = 0,
         score_timeout: float = 60.0,
+        models: Optional[dict] = None,
     ):
+        if models is None:
+            if scorer is None or meta is None:
+                raise ValueError("pass (scorer, meta) or models={name: (scorer, meta)}")
+            models = {meta.get("subject") or "default": (scorer, meta)}
+        self.models = dict(models)
+        if scorer is None and len(self.models) == 1:
+            scorer, meta = next(iter(self.models.values()))
         self.scorer = scorer
         self.meta = meta
         self.score_timeout = float(score_timeout)
@@ -249,34 +265,68 @@ class AnomalyHTTPServer:
 
             def do_GET(self):
                 if self.path == "/healthz":
-                    self._json(200, {"ok": True, "mode": outer.meta.get("mode")})
+                    if len(outer.models) > 1:
+                        payload = {"ok": True, "models": {
+                            name: m.get("mode")
+                            for name, (_, m) in outer.models.items()
+                        }}
+                    else:
+                        payload = {"ok": True, "mode": outer.meta.get("mode")}
+                    self._json(200, payload)
                 elif self.path == "/stats":
-                    self._json(200, outer.scorer.stats())
+                    if len(outer.models) > 1:
+                        self._json(200, {
+                            name: sc.stats()
+                            for name, (sc, _) in outer.models.items()
+                        })
+                    else:
+                        self._json(200, outer.scorer.stats())
                 else:
                     self._json(404, {"error": f"no route {self.path}"})
 
             def do_POST(self):
                 path, _, query = self.path.partition("?")
-                if path != "/score":
+                # drain the body BEFORE any (error) response: replying
+                # with an unread request body breaks the connection
+                # (the client sees a reset instead of the status)
+                length = int(self.headers.get("Content-Length", "0"))
+                body = self.rfile.read(length)
+                if path == "/score":
+                    if len(outer.models) > 1:
+                        self._json(400, {
+                            "error": "several models are loaded; POST "
+                                     "/score/<name>",
+                            "models": sorted(outer.models),
+                        })
+                        return
+                    scorer, meta = outer.scorer, outer.meta
+                elif path.startswith("/score/"):
+                    name = path[len("/score/"):]
+                    if name not in outer.models:
+                        self._json(404, {
+                            "error": f"no model {name!r}",
+                            "models": sorted(outer.models),
+                        })
+                        return
+                    scorer, meta = outer.models[name]
+                else:
                     self._json(404, {"error": f"no route {path}"})
                     return
                 # client errors (bad body/geometry) → 400; scoring
                 # timeouts → 504; internal scorer faults → 500 (load
                 # balancers and retry logic key on the 4xx/5xx split)
                 try:
-                    length = int(self.headers.get("Content-Length", "0"))
-                    body = self.rfile.read(length)
-                    image = _decode_image(body, tuple(outer.meta["imsize"]))
+                    image = _decode_image(body, tuple(meta["imsize"]))
                 except Exception as e:
                     self._json(400, {"error": repr(e)})
                     return
                 try:
                     t0 = time.perf_counter()
-                    result = outer.scorer.score(
+                    result = scorer.score(
                         image, timeout=outer.score_timeout
                     )
                     ms = (time.perf_counter() - t0) * 1e3
-                    if outer.meta.get("mode") == "patch":
+                    if meta.get("mode") == "patch":
                         amap = np.asarray(result[0])
                         payload = {
                             "map_max": float(amap.max()),
@@ -290,7 +340,7 @@ class AnomalyHTTPServer:
                         payload = {
                             "score": float(score),
                             "label": int(label),
-                            "threshold": outer.meta.get("threshold"),
+                            "threshold": meta.get("threshold"),
                             "ms": round(ms, 3),
                         }
                         if len(result) > 2:
@@ -321,4 +371,5 @@ class AnomalyHTTPServer:
     def stop(self):
         self._httpd.shutdown()
         self._httpd.server_close()
-        self.scorer.close()
+        for sc, _ in self.models.values():
+            sc.close()

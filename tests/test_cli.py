@@ -18,9 +18,9 @@ class TestParser:
             ["train", *base, "--subject", "bottle", "--data-shards", "2"],
             ["sweep", *base, "--subjects", "bottle,carpet"],
             ["train-multi", *base, "--subjects", "all", "--stack", "4"],
-            ["evaluate", *base, "--models-dir", "m"],
+            ["evaluate", *base, "--models-dir", "m", "--data-shards", "4"],
             ["infer", *base, "--models-dir", "m", "--subject", "bottle",
-             "--artificial"],
+             "--artificial", "--data-shards", "2"],
             ["localize", *base, "--models-dir", "m", "--subject", "bottle"],
             ["qa", *base, "--subject", "bottle"],
             ["profile", *base, "--subject", "bottle", "--profile-dir", "t"],
@@ -83,6 +83,46 @@ class TestInferCommand:
         payload = np.load(summary["outputs"])
         # upsampled (N, 64, 64) anomaly maps
         assert payload["anomaly"].shape == (4, 64, 64)
+
+
+class TestTrainMultiCheckpointConfig:
+    def test_per_category_subject_stamped(self, fake_mvtec, tmp_path, monkeypatch):
+        """train-multi builds ONE config from subjects[0] but must save
+        each category's checkpoint with its OWN subject: export bakes
+        meta['subject'] for /score/<name> routing and the aug policy
+        branches on the fixed/non-fixed taxonomy."""
+        from types import SimpleNamespace
+
+        import ssad_tpu.evaluation.visualization as vis
+        import ssad_tpu.parallel.category_parallel as cp
+        import ssad_tpu.train.checkpoint as ckpt
+        from pathlib import Path
+
+        def fake_fit(cfg, subjects, datas, mesh, **kw):
+            return {
+                s: SimpleNamespace(
+                    params={}, batch_stats={}, bank=None, best_params=None,
+                    best_batch_stats=None, history={},
+                )
+                for s in subjects
+            }
+
+        saved = {}
+
+        def fake_save(out, params, stats, bank, cfg, name="best_model"):
+            saved[Path(out).name] = cfg.data.subject
+            return Path(out) / name
+
+        monkeypatch.setattr(cp, "fit_categories", fake_fit)
+        monkeypatch.setattr(ckpt, "save_checkpoint", fake_save)
+        monkeypatch.setattr(vis, "plot_history", lambda *a, **k: None)
+        rc = main([
+            "train-multi", "--dataset-dir", str(fake_mvtec),
+            "--outputs-dir", str(tmp_path),
+            "--subjects", "bottle,carpet", "--imsize", "64",
+        ])
+        assert rc == 0
+        assert saved == {"bottle": "bottle", "carpet": "carpet"}
 
 
 class TestProfileCommand:

@@ -271,6 +271,48 @@ class TestHTTPServer:
         assert len(outs) == 32
         assert all(o["score"] == pytest.approx(8 * 8 * 3) for o in outs)
 
+    def test_multi_model_routing(self):
+        """Several artifacts behind one port: POST /score/<name> routes,
+        bare /score is ambiguous (400 + the model list), stats are
+        per-model, and stop() closes every batcher."""
+        from ssad_tpu.serving.server import AnomalyHTTPServer, BatchingScorer
+
+        def double_scorer(x):
+            s = 2 * x.reshape(x.shape[0], -1).sum(axis=1)
+            return s, (s > 100).astype(np.int32)
+
+        models = {
+            "bottle": (BatchingScorer(_sum_scorer, batch=2, max_delay_ms=2.0),
+                       {"mode": "image", "imsize": [8, 8]}),
+            "carpet": (BatchingScorer(double_scorer, batch=2, max_delay_ms=2.0),
+                       {"mode": "image", "imsize": [8, 8]}),
+        }
+        srv = AnomalyHTTPServer(models=models, port=0).start()
+        try:
+            buf = io.BytesIO()
+            np.save(buf, np.ones((8, 8, 3), np.float32))
+            body = buf.getvalue()
+            out_b = _post(srv.port, "/score/bottle", body)
+            out_c = _post(srv.port, "/score/carpet", body)
+            assert out_b["score"] == pytest.approx(8 * 8 * 3)
+            assert out_c["score"] == pytest.approx(2 * 8 * 8 * 3)
+            with pytest.raises(urllib.error.HTTPError) as exc:
+                _post(srv.port, "/score", body)
+            assert exc.value.code == 400
+            assert "bottle" in exc.value.read().decode()
+            with pytest.raises(urllib.error.HTTPError) as exc:
+                _post(srv.port, "/score/zipper", body)
+            assert exc.value.code == 404
+            health = _get(srv.port, "/healthz")
+            assert health["models"] == {"bottle": "image", "carpet": "image"}
+            st = _get(srv.port, "/stats")
+            assert st["bottle"]["requests"] == 1
+            assert st["carpet"]["requests"] == 1
+        finally:
+            srv.stop()
+        for sc, _ in models.values():
+            assert sc._closed
+
     def test_unknown_route_is_404(self, image_server):
         with pytest.raises(urllib.error.HTTPError) as exc:
             urllib.request.urlopen(
