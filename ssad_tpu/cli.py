@@ -662,9 +662,10 @@ def build_parser() -> argparse.ArgumentParser:
     ex.add_argument("--n-normality-images", type=int, default=None,
                     help="cap the training images embedded for patch "
                          "normality (default: all)")
-    ex.add_argument("--dtype", default=None, choices=["bfloat16"],
-                    help="cast baked weights for serving (halves the "
-                         "artifact; bank + k-NN stay f32)")
+    ex.add_argument("--dtype", default=None, choices=["bfloat16", "int8"],
+                    help="serving weight compression: bfloat16 cast (halves "
+                         "the artifact) or weight-only per-channel int8 "
+                         "(~4x, serving/quant.py); bank + k-NN stay f32")
     ex.add_argument("--batch", type=int, default=8,
                     help="fixed serving batch the program is compiled for")
     ex.add_argument("--imsize", type=int, default=None,

@@ -63,7 +63,20 @@ def _scorer_fn(engine, bank, threshold: float, k: int, mode: str,
     from ssad_tpu.ops.knn import knn_cosine_scores
 
     variables = engine._variables
-    if dtype is not None:
+    if dtype == "int8":
+        # weight-only int8 (serving/quant.py): per-output-channel
+        # symmetric quantization of every ≥2-D float leaf.  The int8
+        # tensors are the closure constants jax.export bakes (~4× the
+        # f32 artifact shrink); the dequantize runs INSIDE the traced
+        # program so compute stays bf16 and BN/bias leaves stay exact.
+        from ssad_tpu.serving.quant import dequantize_tree, quantize_tree
+
+        qt = quantize_tree(variables)
+
+        def resolve_variables():
+            return dequantize_tree(qt)
+
+    elif dtype is not None:
         # serving weight cast (e.g. bf16): halves the artifact and the
         # weight traffic of the memory-bound forward.  The bank and the
         # k-NN stay f32 (scores are 1−cos with cos≈1 — see ops note).
@@ -73,19 +86,29 @@ def _scorer_fn(engine, bank, threshold: float, k: int, mode: str,
         # baked weights back to f32 — jax.Array constants stay bf16 in
         # the exported module (measured: 50.8 vs 25.5 MB for ResNet-18)
         target = jnp.dtype(dtype)
-        variables = jax.tree_util.tree_map(
+        cast = jax.tree_util.tree_map(
             lambda x: jnp.asarray(x, target)
             if jnp.issubdtype(jnp.result_type(x), jnp.floating)
             else jnp.asarray(x),
             variables,
         )
+
+        def resolve_variables():
+            return cast
+
+    else:
+
+        def resolve_variables():
+            return variables
+
     bank = jnp.asarray(bank, jnp.float32)
 
     if mode == "image":
 
         def fn(x):
+            v = resolve_variables()
             xn = jax.vmap(im.normalize_imagenet)(x)
-            logits, emb = engine._forward.__wrapped__(variables, xn)
+            logits, emb = engine._forward.__wrapped__(v, xn)
             scores = knn_cosine_scores(emb, bank, k=k)
             labels = (scores > threshold).astype(jnp.int32)
             return scores, labels, logits
@@ -93,10 +116,11 @@ def _scorer_fn(engine, bank, threshold: float, k: int, mode: str,
     elif mode == "patch":
 
         def fn(x):
+            v = resolve_variables()
             xn = jax.vmap(im.normalize_imagenet)(x)
             return (
                 engine._score_patches.__wrapped__(
-                    variables, xn, bank, patch_dim, stride, k, upsample_to
+                    v, xn, bank, patch_dim, stride, k, upsample_to
                 ),
             )
 

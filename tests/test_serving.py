@@ -444,6 +444,55 @@ class TestExportRoundtrip:
         s16 = load_scorer(p16)(imgs)[0]
         np.testing.assert_allclose(s16, s32, atol=0.02)
 
+    def test_int8_weight_only_quantization(self, tiny_engine, tmp_path):
+        """--dtype int8 (weight-only, per-output-channel symmetric)
+        shrinks the artifact well past bf16 and keeps scores at
+        quantization-noise level with identical labels."""
+        import os
+
+        from ssad_tpu.serving.export import export_scorer, load_scorer, save_artifact
+
+        engine, bank = tiny_engine
+        kw = dict(mode="image", batch=2, imsize=(64, 64), k=3, threshold=0.5)
+        exp32, meta32 = export_scorer(engine, bank, **kw)
+        exp8, meta8 = export_scorer(engine, bank, dtype="int8", **kw)
+        assert meta8["weights_dtype"] == "int8"
+        p32 = save_artifact(tmp_path / "f32.ssadexp", exp32, meta32)
+        p8 = save_artifact(tmp_path / "int8.ssadexp", exp8, meta8)
+        # weights dominate the artifact; int8 leaves are 4x smaller than f32
+        assert os.path.getsize(p8) < 0.45 * os.path.getsize(p32)
+        imgs = np.random.default_rng(9).uniform(size=(4, 64, 64, 3)).astype(np.float32)
+        s32, l32, _ = load_scorer(p32)(imgs)
+        s8, l8, _ = load_scorer(p8)(imgs)
+        np.testing.assert_allclose(s8, s32, atol=0.03)
+        np.testing.assert_array_equal(l8, l32)
+
+    def test_quantize_tree_roundtrip(self):
+        """Per-channel int8: ≥2-D float leaves quantize (error ≤ half a
+        quantization step + bf16 rounding), 1-D/integer leaves pass
+        through exactly."""
+        import jax.numpy as jnp
+
+        from ssad_tpu.serving.quant import dequantize_tree, quantize_tree
+
+        rng = np.random.default_rng(0)
+        tree = {
+            "conv": {"kernel": jnp.asarray(
+                rng.normal(0, 0.1, (3, 3, 16, 32)), jnp.float32)},
+            "bn": {"scale": jnp.full((32,), 1.5), "bias": jnp.zeros((32,))},
+            "step": jnp.int32(7),
+        }
+        qt = quantize_tree(tree)
+        assert sum(1 for l in qt.leaves if l.dtype == jnp.int8) == 1
+        deq = dequantize_tree(qt)
+        assert deq["step"] == 7
+        np.testing.assert_array_equal(deq["bn"]["scale"], tree["bn"]["scale"])
+        w = np.asarray(tree["conv"]["kernel"], np.float32)
+        d = np.asarray(deq["conv"]["kernel"], np.float32)
+        amax = np.abs(w).max(axis=(0, 1, 2))
+        err = np.abs(w - d).max(axis=(0, 1, 2))
+        assert (err <= amax / 254 + amax * 2**-8 + 1e-8).all()
+
     def test_cross_lowering_without_local_device_errors(self, tiny_engine):
         from ssad_tpu.serving.export import export_scorer
 
