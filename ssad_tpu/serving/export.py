@@ -275,14 +275,23 @@ class ServedScorer:
             raise ValueError(
                 f"expected (B, {h}, {w}, 3) images, got {x.shape}"
             )
+        # pipelined chunk loop: dispatch chunk i+1 BEFORE reading back
+        # chunk i (jax dispatch is async), so host readback/convert
+        # overlaps device compute on multi-chunk inputs
         outs = []
+        pending = None  # (device results, valid rows)
         for lo in range(0, x.shape[0], self.batch):
             chunk = x[lo : lo + self.batch]
             n = chunk.shape[0]
             if n < self.batch:
                 chunk = np.pad(chunk, ((0, self.batch - n),) + ((0, 0),) * 3)
             res = self._call(jnp.asarray(chunk))
-            outs.append(tuple(np.asarray(r)[:n] for r in res))
+            if pending is not None:
+                pres, pn = pending
+                outs.append(tuple(np.asarray(r)[:pn] for r in pres))
+            pending = (res, n)
+        pres, pn = pending
+        outs.append(tuple(np.asarray(r)[:pn] for r in pres))
         return tuple(np.concatenate(parts, axis=0) for parts in zip(*outs))
 
 
