@@ -440,6 +440,14 @@ def cmd_serve(args) -> int:
         "models": {n: m.get("mode") for n, (_, m) in models.items()},
         "warmup_s": round(total_warmup, 2),
     }), flush=True)
+    # SIGTERM (the fleet-manager stop signal) drains like Ctrl-C:
+    # in-flight requests finish, batchers close, the socket closes
+    import signal
+
+    def _sigterm(*_):
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _sigterm)
     try:
         while True:
             _time.sleep(3600)
