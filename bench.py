@@ -21,7 +21,7 @@ extra measurements ride as additional keys:
    "train_step_ms": N, "train_images_per_sec": N, "train_mfu": N,
    "train_step_fill32_ms": N, "train_step_s2d_ms": N,
    "patch_score_ms_per_image": N, "patch_score_bs16_ms_per_image": N,
-   "patch_roofline": {...}, "device": ...}
+   "image_score_ms_per_image": N, "patch_roofline": {...}, "device": ...}
 
 The patch_roofline block is the decomposition behind any cross-device
 claim: XLA cost-analysis FLOPs + bytes, the chip's peak FLOP/s and HBM
@@ -191,6 +191,33 @@ def bench_train_step(rng, h, w, batch, n_images, model_cfg=None, iters=30):
     return dt * 1e3, batch / dt, mfu
 
 
+def bench_image_scoring(rng, h, w, bank_rows=1000, bs=32):
+    """ms/image for image-level scoring: whole-image embedding + k-NN
+    against the memory bank — the reference's image-level inference unit
+    (models.py:311-333 predict_step + models.py:363-366 kNN), fused into
+    one program by scoring the embeddings in-graph."""
+    import jax.numpy as jnp
+
+    from ssad_tpu.config import ModelConfig
+    from ssad_tpu.evaluation.inference import InferenceEngine
+    from ssad_tpu.models.peranet import build_model, init_model
+    from ssad_tpu.ops.knn import knn_cosine_scores
+
+    model = build_model(ModelConfig())
+    params, stats = init_model(model, jax.random.key(0), (1, h, w, 3))
+    engine = InferenceEngine(model, params, stats)
+    bank = jnp.asarray(rng.random((bank_rows, 512), dtype=np.float32))
+
+    @jax.jit
+    def score(variables, x, bank):
+        out = model.apply(variables, x, train=False)
+        return knn_cosine_scores(out["latent_space"], bank, k=3)
+
+    x = jnp.asarray(rng.random((bs, h, w, 3), dtype=np.float32))
+    dt = _timeit(lambda x: score(engine._variables, x, bank), 30, x)
+    return dt * 1e3 / bs
+
+
 def bench_patch_scoring(rng, h, w, patch_dim=32, stride=8, bank_rows=1000, bs=8):
     """(ms/image, roofline dict) for sliding-window patch scoring
     (embed 841 patches + k-NN against the bank), batched over bs images."""
@@ -264,6 +291,7 @@ def main() -> None:
     )
     patch_ms, roofline = bench_patch_scoring(rng, h, w)
     patch16_ms, _ = bench_patch_scoring(rng, h, w, bs=16)
+    image_ms = bench_image_scoring(rng, h, w)
 
     print(
         json.dumps(
@@ -279,6 +307,7 @@ def main() -> None:
                 "train_step_s2d_ms": round(s2d_ms, 2),
                 "patch_score_ms_per_image": round(patch_ms, 3),
                 "patch_score_bs16_ms_per_image": round(patch16_ms, 3),
+                "image_score_ms_per_image": round(image_ms, 3),
                 "patch_roofline": roofline,
                 "device": jax.devices()[0].device_kind,
             }

@@ -395,7 +395,7 @@ def cmd_export(args) -> int:
         patch_dim=args.patch_dim, stride=args.stride,
         dataset_dir=args.dataset_dir,
         n_normality_images=args.n_normality_images,
-        dtype=args.dtype, seed=args.seed,
+        dtype=args.dtype, scorer=args.scorer, seed=args.seed,
     )
     print(json.dumps({
         "artifact": path,
@@ -680,6 +680,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="default: the checkpoint's training imsize")
     ex.add_argument("--knn-k", type=int, default=None,
                     help="default: EvalConfig().knn_k")
+    ex.add_argument("--scorer", default="knn",
+                    choices=["knn", "mahalanobis"],
+                    help="anomaly scorer baked into the artifact: k-NN "
+                         "bank (reference parity) or Mahalanobis Gaussian "
+                         "(same choices as evaluate/infer)")
     ex.add_argument("--patch-dim", type=int, default=32)
     ex.add_argument("--stride", type=int, default=8)
     ex.add_argument("--export-platform", default=None,

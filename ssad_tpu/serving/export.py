@@ -56,9 +56,12 @@ _MAGIC = b"SSADEXP1"
 
 def _scorer_fn(engine, bank, threshold: float, k: int, mode: str,
                patch_dim: int, stride: int, upsample_to: Optional[int],
-               dtype: Optional[str] = None):
+               dtype: Optional[str] = None, scorer: str = "knn",
+               mean=None, precision=None):
     """The raw-image scoring closure that gets traced and exported.
-    Weights/bank ride as closure constants (baked into the program)."""
+    Weights + the scorer's normality statistics (k-NN bank, or
+    Mahalanobis mean/precision) ride as closure constants (baked into
+    the program)."""
     from ssad_tpu.ops import image as im
     from ssad_tpu.ops.knn import knn_cosine_scores
 
@@ -101,7 +104,25 @@ def _scorer_fn(engine, bank, threshold: float, k: int, mode: str,
         def resolve_variables():
             return variables
 
-    bank = jnp.asarray(bank, jnp.float32)
+    if scorer == "mahalanobis":
+        # normality statistics are a fitted Gaussian, not a bank
+        # (models/detector.py:MahalanobisDetector — a rebuild-only
+        # scorer; selectable everywhere --scorer is, incl. here)
+        mean = jnp.asarray(mean, jnp.float32)
+        precision = jnp.asarray(precision, jnp.float32)
+
+        def _maha(emb):
+            q = emb.astype(jnp.float32) - mean
+            d2 = jnp.einsum(
+                "qd,de,qe->q", q, precision, q,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            return jnp.sqrt(jnp.maximum(d2, 0.0))
+
+    elif scorer == "knn":
+        bank = jnp.asarray(bank, jnp.float32)
+    else:
+        raise ValueError(f"unknown scorer {scorer!r}; valid: knn, mahalanobis")
 
     if mode == "image":
 
@@ -109,7 +130,10 @@ def _scorer_fn(engine, bank, threshold: float, k: int, mode: str,
             v = resolve_variables()
             xn = jax.vmap(im.normalize_imagenet)(x)
             logits, emb = engine._forward.__wrapped__(v, xn)
-            scores = knn_cosine_scores(emb, bank, k=k)
+            if scorer == "mahalanobis":
+                scores = _maha(emb)
+            else:
+                scores = knn_cosine_scores(emb, bank, k=k)
             labels = (scores > threshold).astype(jnp.int32)
             return scores, labels, logits
 
@@ -118,11 +142,15 @@ def _scorer_fn(engine, bank, threshold: float, k: int, mode: str,
         def fn(x):
             v = resolve_variables()
             xn = jax.vmap(im.normalize_imagenet)(x)
-            return (
-                engine._score_patches.__wrapped__(
+            if scorer == "mahalanobis":
+                maps = engine._score_patches_mahalanobis.__wrapped__(
+                    v, xn, mean, precision, patch_dim, stride, upsample_to
+                )
+            else:
+                maps = engine._score_patches.__wrapped__(
                     v, xn, bank, patch_dim, stride, k, upsample_to
-                ),
-            )
+                )
+            return (maps,)
 
     else:
         raise ValueError(f"unknown mode {mode!r}; valid: image, patch")
@@ -142,13 +170,18 @@ def export_scorer(
     upsample_to: Optional[int] = None,
     platform: Optional[str] = None,
     dtype: Optional[str] = None,
+    scorer: str = "knn",
+    mean=None,
+    precision=None,
 ) -> Tuple["jax.export.Exported", dict]:
     """Trace + lower the scoring program for ONE fixed input geometry.
 
     Fixed shapes are deliberate (serving pads to `batch`; one
     compilation, no shape-polymorphic recompiles on the hot path).
     ``dtype='bfloat16'`` casts the baked weights for serving (bank and
-    k-NN stay f32).  Returns (Exported, header_meta).
+    k-NN stay f32).  ``scorer='mahalanobis'`` bakes a fitted Gaussian
+    (pass ``mean``/``precision``) instead of the k-NN bank.  Returns
+    (Exported, header_meta).
     """
     import contextlib
 
@@ -168,8 +201,11 @@ def export_scorer(
         ) from None
     if upsample_to is None and mode == "patch":
         upsample_to = imsize[0]
+    if scorer == "mahalanobis" and (mean is None or precision is None):
+        raise ValueError("scorer='mahalanobis' needs mean and precision")
     fn = _scorer_fn(engine, bank, threshold, k, mode, patch_dim, stride,
-                    upsample_to, dtype=dtype)
+                    upsample_to, dtype=dtype, scorer=scorer, mean=mean,
+                    precision=precision)
     spec = jax.ShapeDtypeStruct((batch, imsize[0], imsize[1], 3), jnp.float32)
     # kernel dispatch keys on jax.default_backend(), which the
     # default_device context does NOT change — pin it for cross-lowering
@@ -191,8 +227,9 @@ def export_scorer(
         "stride": stride,
         "upsample_to": upsample_to,
         "platform": platform,
-        "knn_impl": knn_impl,
+        "knn_impl": knn_impl if scorer == "knn" else None,
         "weights_dtype": dtype or "float32",
+        "scorer": scorer,
         "num_classes": engine.model.num_classes,
     }
     return exported, meta
@@ -314,6 +351,7 @@ def export_checkpoint(
     dataset_dir: Optional[str] = None,
     n_normality_images: Optional[int] = None,
     dtype: Optional[str] = None,
+    scorer: str = "knn",
     seed: int = 0,
 ) -> str:
     """Checkpoint directory → serving artifact (the `cli export` body).
@@ -378,13 +416,29 @@ def export_checkpoint(
         from ssad_tpu.config import EvalConfig
 
         k = EvalConfig().knn_k
-    det = AnomalyDetector(k=k).fit(jnp.asarray(normality), jax.random.key(seed))
-    thr = float(det.threshold) if threshold is None else float(threshold)
-    exported, meta = export_scorer(
-        engine, det.bank, mode=mode, batch=batch, imsize=imsize, k=k,
-        threshold=thr, patch_dim=patch_dim, stride=stride, platform=platform,
-        dtype=dtype,
-    )
+    if scorer == "mahalanobis":
+        from ssad_tpu.models.detector import MahalanobisDetector
+
+        det = MahalanobisDetector().fit(
+            jnp.asarray(normality), jax.random.key(seed)
+        )
+        thr = float(det.threshold) if threshold is None else float(threshold)
+        exported, meta = export_scorer(
+            engine, None, mode=mode, batch=batch, imsize=imsize, k=k,
+            threshold=thr, patch_dim=patch_dim, stride=stride,
+            platform=platform, dtype=dtype, scorer=scorer,
+            mean=det.mean, precision=det.precision,
+        )
+    else:
+        det = AnomalyDetector(k=k).fit(
+            jnp.asarray(normality), jax.random.key(seed)
+        )
+        thr = float(det.threshold) if threshold is None else float(threshold)
+        exported, meta = export_scorer(
+            engine, det.bank, mode=mode, batch=batch, imsize=imsize, k=k,
+            threshold=thr, patch_dim=patch_dim, stride=stride,
+            platform=platform, dtype=dtype,
+        )
     meta["checkpoint"] = str(checkpoint_path)
     if cfg is not None and cfg.data.subject:
         meta["subject"] = cfg.data.subject

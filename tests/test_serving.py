@@ -423,6 +423,80 @@ class TestExportRoundtrip:
         )
         np.testing.assert_allclose(maps, ref, rtol=1e-4, atol=1e-5)
 
+    def test_mahalanobis_image_mode_matches_live_detector(
+        self, tiny_engine, tmp_path
+    ):
+        """--scorer mahalanobis bakes the fitted Gaussian (mean +
+        precision) instead of the k-NN bank; the served scores must
+        match MahalanobisDetector.predict on the live engine."""
+        import jax
+        import jax.numpy as jnp
+
+        from ssad_tpu.models.detector import MahalanobisDetector
+        from ssad_tpu.ops import image as im
+        from ssad_tpu.serving.export import export_scorer, load_scorer, save_artifact
+
+        engine, bank = tiny_engine
+        det = MahalanobisDetector().fit(jnp.asarray(bank), jax.random.key(0))
+        exported, meta = export_scorer(
+            engine, None, mode="image", batch=4, imsize=(64, 64),
+            threshold=float(det.threshold), scorer="mahalanobis",
+            mean=det.mean, precision=det.precision,
+        )
+        assert meta["scorer"] == "mahalanobis"
+        assert meta["knn_impl"] is None
+        path = save_artifact(tmp_path / "maha.ssadexp", exported, meta)
+        scorer = load_scorer(path)
+
+        imgs = np.random.default_rng(5).uniform(size=(4, 64, 64, 3)).astype(np.float32)
+        scores, labels, _ = scorer(imgs)
+        xn = jax.vmap(im.normalize_imagenet)(jnp.asarray(imgs))
+        _, emb = engine.predict_batch(xn)
+        ref = np.asarray(det.predict(emb))
+        np.testing.assert_allclose(scores, ref, rtol=1e-4, atol=1e-5)
+        np.testing.assert_array_equal(
+            labels, (ref > det.threshold).astype(np.int32)
+        )
+
+    def test_mahalanobis_patch_mode_matches_live_engine(
+        self, tiny_engine, tmp_path
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        from ssad_tpu.models.detector import MahalanobisDetector
+        from ssad_tpu.ops import image as im
+        from ssad_tpu.serving.export import export_scorer, load_scorer, save_artifact
+
+        engine, bank = tiny_engine
+        det = MahalanobisDetector().fit(jnp.asarray(bank), jax.random.key(1))
+        exported, meta = export_scorer(
+            engine, None, mode="patch", batch=2, imsize=(64, 64),
+            patch_dim=16, stride=16, scorer="mahalanobis",
+            mean=det.mean, precision=det.precision,
+        )
+        path = save_artifact(tmp_path / "maha_p.ssadexp", exported, meta)
+        scorer = load_scorer(path)
+        imgs = np.random.default_rng(6).uniform(size=(2, 64, 64, 3)).astype(np.float32)
+        (maps,) = scorer(imgs)
+        assert maps.shape == (2, 64, 64)
+
+        xn = jax.vmap(im.normalize_imagenet)(jnp.asarray(imgs))
+        ref = np.asarray(
+            engine.score_patch_maps_mahalanobis(
+                xn, det.mean, det.precision, dim=16, stride=16, upsample_to=64
+            )
+        )
+        np.testing.assert_allclose(maps, ref, rtol=1e-4, atol=1e-5)
+
+    def test_mahalanobis_requires_stats(self, tiny_engine):
+        from ssad_tpu.serving.export import export_scorer
+
+        engine, _ = tiny_engine
+        with pytest.raises(ValueError, match="mean and precision"):
+            export_scorer(engine, None, mode="image", batch=1,
+                          imsize=(64, 64), scorer="mahalanobis")
+
     def test_bf16_weight_cast(self, tiny_engine, tmp_path):
         """--dtype bfloat16 shrinks the artifact and perturbs scores
         only at bf16 noise level (the backbone computes in its
@@ -585,6 +659,25 @@ class TestExportCheckpoint:
                 str(tiny_checkpoint / "bottle" / "best_model"),
                 str(tmp_path / "p.ssadexp"), mode="patch",
             )
+
+    def test_mahalanobis_from_checkpoint(self, tiny_checkpoint, tmp_path):
+        """scorer='mahalanobis' end-to-end from a checkpoint: the
+        Gaussian is fitted on the bank rows and the calibrated
+        threshold rides in the header."""
+        from ssad_tpu.serving.export import export_checkpoint, load_scorer
+
+        path = export_checkpoint(
+            str(tiny_checkpoint / "bottle" / "best_model"),
+            str(tmp_path / "m.ssadexp"), mode="image", batch=2,
+            scorer="mahalanobis",
+        )
+        scorer = load_scorer(path)
+        assert scorer.meta["scorer"] == "mahalanobis"
+        assert np.isfinite(scorer.meta["threshold"])
+        imgs = np.random.default_rng(8).uniform(size=(2, 64, 64, 3)).astype(np.float32)
+        scores, labels, _ = scorer(imgs)
+        assert np.isfinite(scores).all()
+        assert set(np.unique(labels)) <= {0, 1}
 
     def test_patch_mode_reembeds_from_dataset(
         self, tiny_checkpoint, fake_mvtec, tmp_path
