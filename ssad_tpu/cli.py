@@ -559,7 +559,7 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--fine-tune-epochs", type=int, default=30)
     t.add_argument("--fine-tune-lr", type=float, default=0.005)
     t.add_argument("--backbone", default="resnet18",
-                   choices=["resnet18", "wide_resnet50_2"])
+                   choices=["resnet18", "resnet34", "wide_resnet50_2"])
     t.add_argument("--pretrained-backbone", default=None,
                    help="path to a torchvision resnet18 state_dict (.pth)")
     t.add_argument("--data-shards", type=int, default=None,
@@ -579,7 +579,7 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--fine-tune-epochs", type=int, default=30)
     s.add_argument("--fine-tune-lr", type=float, default=0.005)
     s.add_argument("--backbone", default="resnet18",
-                   choices=["resnet18", "wide_resnet50_2"])
+                   choices=["resnet18", "resnet34", "wide_resnet50_2"])
     s.add_argument("--pretrained-backbone", default=None)
     s.add_argument("--quiet", action="store_true")
     s.set_defaults(fn=cmd_sweep)
@@ -600,7 +600,7 @@ def build_parser() -> argparse.ArgumentParser:
     tm.add_argument("--fine-tune-epochs", type=int, default=30)
     tm.add_argument("--fine-tune-lr", type=float, default=0.005)
     tm.add_argument("--backbone", default="resnet18",
-                    choices=["resnet18", "wide_resnet50_2"])
+                    choices=["resnet18", "resnet34", "wide_resnet50_2"])
     tm.add_argument("--pretrained-backbone", default=None)
     tm.add_argument("--resume-dir", default=None,
                     help="write per-group epoch-granular resume snapshots "
@@ -649,7 +649,7 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--fine-tune-epochs", type=int, default=30)
     pr.add_argument("--fine-tune-lr", type=float, default=0.005)
     pr.add_argument("--backbone", default="resnet18",
-                    choices=["resnet18", "wide_resnet50_2"])
+                    choices=["resnet18", "resnet34", "wide_resnet50_2"])
     pr.add_argument("--pretrained-backbone", default=None)
     pr.set_defaults(fn=cmd_profile)
 
@@ -737,7 +737,7 @@ def build_parser() -> argparse.ArgumentParser:
     pa.add_argument("--fine-tune-epochs", type=int, default=15)
     pa.add_argument("--pretrained-backbone", default=None)
     pa.add_argument("--backbone", default="resnet18",
-                    choices=["resnet18", "wide_resnet50_2"])
+                    choices=["resnet18", "resnet34", "wide_resnet50_2"])
     pa.add_argument("--patch-dim", type=int, default=32)
     pa.add_argument("--stride", type=int, default=8)
     pa.add_argument("--modes", default="image,patch")

@@ -259,6 +259,13 @@ def ResNet18(dtype: Any = jnp.float32, name: str = "backbone") -> ResNet:
     return ResNet(dtype=dtype, name=name)
 
 
+def ResNet34(dtype: Any = jnp.float32, name: str = "backbone") -> ResNet:
+    """torchvision resnet34: basic blocks at (3, 4, 6, 3) depths — the
+    deeper sibling of the reference's resnet18 (models.py:58) with the
+    SAME tap widths (128/256/512), so the PeraNet head is unchanged."""
+    return ResNet(dtype=dtype, stage_sizes=(3, 4, 6, 3), name=name)
+
+
 def WideResNet50_2(dtype: Any = jnp.float32, name: str = "backbone") -> ResNet:
     """torchvision wide_resnet50_2: bottleneck (3,4,6,3), inner width 2×
     — the PatchCore-style feature extractor (BASELINE.json config 4)."""
@@ -271,6 +278,10 @@ def WideResNet50_2(dtype: Any = jnp.float32, name: str = "backbone") -> ResNet:
 def make_backbone(arch: str, dtype: Any = jnp.float32, name: str = "backbone") -> ResNet:
     if arch == "resnet18":
         return ResNet18(dtype=dtype, name=name)
+    if arch == "resnet34":
+        return ResNet34(dtype=dtype, name=name)
     if arch in ("wide_resnet50_2", "wide_resnet50"):
         return WideResNet50_2(dtype=dtype, name=name)
-    raise ValueError(f"unknown backbone '{arch}' (resnet18 | wide_resnet50_2)")
+    raise ValueError(
+        f"unknown backbone '{arch}' (resnet18 | resnet34 | wide_resnet50_2)"
+    )

@@ -320,6 +320,77 @@ class TestWideResNet50:
         )
 
 
+class TestResNet34:
+    """resnet34 backbone: basic blocks at (3,4,6,3) — same tap widths as
+    resnet18, so the PeraNet head slots in unchanged; the torchvision
+    importer infers the depths off the state-dict key set."""
+
+    def test_peranet_forward_and_depths(self):
+        from ssad_tpu.config import ModelConfig
+        from ssad_tpu.models.peranet import build_model, init_model
+        from ssad_tpu.models.resnet import ResNet34
+
+        assert ResNet34().stage_sizes == (3, 4, 6, 3)
+        model = build_model(ModelConfig(backbone="resnet34", compute_dtype="float32"))
+        params, stats = init_model(model, jax.random.key(0), (1, 64, 64, 3))
+        # stage 3 has 6 blocks in resnet34 (2 in resnet18)
+        assert "layer3_5" in params["backbone"]
+        out = model.apply(
+            {"params": params, "batch_stats": stats}, jnp.ones((2, 64, 64, 3)),
+            train=False,
+        )
+        assert out["classifier"].shape == (2, 4)
+        assert out["latent_space"].shape == (2, 512)
+
+    def test_converter_infers_resnet34_depths(self):
+        from ssad_tpu.models.resnet import ResNet34
+        from ssad_tpu.utils.torch_weights import convert_resnet_state_dict
+
+        model = ResNet34(dtype=jnp.float32)
+        vars_ = model.init(jax.random.key(1), jnp.zeros((1, 64, 64, 3)), train=False)
+        params, stats = vars_["params"], vars_["batch_stats"]
+
+        rng = np.random.default_rng(0)
+
+        def fake(shape):
+            return rng.normal(size=shape).astype(np.float32)
+
+        sd = {
+            "conv1.weight": fake(
+                np.transpose(params["conv1"]["kernel"], (3, 2, 0, 1)).shape),
+            "bn1.weight": fake(params["bn1"]["scale"].shape),
+            "bn1.bias": fake(params["bn1"]["bias"].shape),
+            "bn1.running_mean": fake(stats["bn1"]["mean"].shape),
+            "bn1.running_var": np.abs(fake(stats["bn1"]["var"].shape)) + 0.5,
+        }
+        for name in params:
+            if not name.startswith("layer"):
+                continue
+            stage, block = name[5:].split("_")
+            prefix = f"layer{stage}.{block}"
+            for sub, p in params[name].items():
+                if sub.startswith("conv"):
+                    sd[f"{prefix}.{sub}.weight"] = fake(
+                        np.transpose(p["kernel"], (3, 2, 0, 1)).shape)
+                elif sub == "downsample_conv":
+                    sd[f"{prefix}.downsample.0.weight"] = fake(
+                        np.transpose(p["kernel"], (3, 2, 0, 1)).shape)
+                elif sub.startswith("bn") or sub == "downsample_bn":
+                    tprefix = (f"{prefix}.{sub}" if sub.startswith("bn")
+                               else f"{prefix}.downsample.1")
+                    sd[f"{tprefix}.weight"] = fake(p["scale"].shape)
+                    sd[f"{tprefix}.bias"] = fake(p["bias"].shape)
+                    sd[f"{tprefix}.running_mean"] = fake(p["scale"].shape)
+                    sd[f"{tprefix}.running_var"] = np.abs(fake(p["scale"].shape)) + 0.5
+
+        got_p, got_s = convert_resnet_state_dict(sd)
+        tp = jax.tree_util.tree_structure(jax.tree_util.tree_map(np.shape, params))
+        tg = jax.tree_util.tree_structure(jax.tree_util.tree_map(np.shape, got_p))
+        assert tp == tg
+        for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(got_p)):
+            assert np.shape(a) == np.shape(b)
+
+
 class TestMahalanobisDetector:
     def test_separates_outliers(self, rng):
         from ssad_tpu.models.detector import MahalanobisDetector
