@@ -459,35 +459,67 @@ def cmd_serve(args) -> int:
 
 
 def cmd_profile(args) -> int:
-    """Capture a jax.profiler device trace of the fused train step
-    (view with TensorBoard/xprof; SURVEY §5.1 — absent in the ref)."""
+    """Capture a jax.profiler device trace of a hot program — the fused
+    train step (--what train) or the fused patch-scoring program
+    (--what patch, the serving-relevant inference unit) — view with
+    TensorBoard/xprof (SURVEY §5.1 — absent in the ref)."""
     import json as _json
 
     import jax
     import jax.numpy as jnp
 
     from ssad_tpu.data import mvtec
-    from ssad_tpu.train.trainer import Trainer
     from ssad_tpu.utils import profiling
 
     cfg = _train_cfg(args)
-    data = mvtec.prepare_pretext_data(
-        cfg.data.dataset_dir, cfg.data.subject, imsize=cfg.data.imsize,
-        patch_localization=cfg.data.patch_localization,
-    )
-    trainer = Trainer(cfg, data)
-    state = trainer.init_state(jax.random.key(cfg.seed), "fine_tune")
-    step, _, _, _ = trainer._get_step_fns("fine_tune")
-    tr = trainer._device_data("train")
-    fill = jnp.asarray(True)
-    state, m = step(state, jax.random.key(1), *tr, fill)  # compile
-    jax.block_until_ready(m["loss"])
-    timer = profiling.StepTimer(items_per_step=cfg.data.batch_size)
-    with profiling.trace(args.profile_dir):
-        for i in range(args.steps):
-            timer.start()
-            state, m = step(state, jax.random.key(i + 2), *tr, fill)
-            timer.stop(sync=m["loss"])
+
+    if getattr(args, "what", "train") == "patch":
+        import numpy as np
+
+        from ssad_tpu.evaluation.inference import InferenceEngine
+        from ssad_tpu.models.peranet import build_model, init_model
+
+        h, w = cfg.data.imsize
+        bs = args.profile_batch
+        model = build_model(cfg.model)
+        params, stats = init_model(model, jax.random.key(cfg.seed), (1, 64, 64, 3))
+        engine = InferenceEngine(model, params, stats)
+        rng = np.random.default_rng(cfg.seed)
+        bank = jnp.asarray(rng.random((1000, 512), dtype=np.float32))
+        x = jnp.asarray(rng.random((bs, h, w, 3), dtype=np.float32))
+
+        def run():
+            return engine.score_patch_maps(
+                x, bank, dim=args.patch_dim, stride=args.stride, upsample_to=h
+            )
+
+        jax.block_until_ready(run())  # compile
+        timer = profiling.StepTimer(items_per_step=bs)
+        with profiling.trace(args.profile_dir):
+            for _ in range(args.steps):
+                timer.start()
+                maps = run()
+                timer.stop(sync=maps)
+    else:
+        from ssad_tpu.train.trainer import Trainer
+
+        data = mvtec.prepare_pretext_data(
+            cfg.data.dataset_dir, cfg.data.subject, imsize=cfg.data.imsize,
+            patch_localization=cfg.data.patch_localization,
+        )
+        trainer = Trainer(cfg, data)
+        state = trainer.init_state(jax.random.key(cfg.seed), "fine_tune")
+        step, _, _, _ = trainer._get_step_fns("fine_tune")
+        tr = trainer._device_data("train")
+        fill = jnp.asarray(True)
+        state, m = step(state, jax.random.key(1), *tr, fill)  # compile
+        jax.block_until_ready(m["loss"])
+        timer = profiling.StepTimer(items_per_step=cfg.data.batch_size)
+        with profiling.trace(args.profile_dir):
+            for i in range(args.steps):
+                timer.start()
+                state, m = step(state, jax.random.key(i + 2), *tr, fill)
+                timer.stop(sync=m["loss"])
     print(_json.dumps({
         "trace_dir": args.profile_dir,
         **timer.summary(),
@@ -638,12 +670,19 @@ def build_parser() -> argparse.ArgumentParser:
     inf_p.set_defaults(fn=cmd_infer)
 
     pr = sub.add_parser(
-        "profile", help="capture a device trace of the fused train step"
+        "profile", help="capture a device trace of the fused train step "
+                        "or the fused patch-scoring program"
     )
     common(pr)
     pr.add_argument("--subject", required=True)
     pr.add_argument("--profile-dir", required=True)
     pr.add_argument("--steps", type=int, default=5)
+    pr.add_argument("--what", default="train", choices=["train", "patch"],
+                    help="program to trace: the fused train step, or the "
+                         "fused patch scorer (timing is weight-independent; "
+                         "random weights + bank at the product geometry)")
+    pr.add_argument("--profile-batch", type=int, default=8,
+                    help="image batch for --what patch")
     pr.add_argument("--projection-epochs", type=int, default=10)
     pr.add_argument("--projection-lr", type=float, default=0.03)
     pr.add_argument("--fine-tune-epochs", type=int, default=30)

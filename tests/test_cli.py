@@ -137,3 +137,18 @@ class TestProfileCommand:
         summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert summary["steps"] == 2 and summary["mean_ms"] > 0
         assert any((tmp_path / "trace").rglob("*"))
+
+    def test_patch_program_trace(self, fake_mvtec, tmp_path, capsys):
+        """--what patch traces the fused patch-scoring program (the
+        serving-relevant inference unit) instead of the train step."""
+        rc = main([
+            "profile", "--dataset-dir", str(fake_mvtec),
+            "--outputs-dir", str(tmp_path), "--subject", "bottle",
+            "--imsize", "64", "--patch-dim", "16", "--stride", "16",
+            "--what", "patch", "--profile-batch", "2",
+            "--profile-dir", str(tmp_path / "ptrace"), "--steps", "2",
+        ])
+        assert rc == 0
+        summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert summary["steps"] == 2 and summary["mean_ms"] > 0
+        assert any((tmp_path / "ptrace").rglob("*"))
