@@ -427,7 +427,8 @@ def cmd_serve(args) -> int:
         total_warmup += scorer.warmup()
         models[name] = (
             BatchingScorer(scorer, batch=scorer.batch,
-                           max_delay_ms=args.max_delay_ms),
+                           max_delay_ms=args.max_delay_ms,
+                           max_queue=args.max_queue or None),
             scorer.meta,
         )
     server = AnomalyHTTPServer(
@@ -743,6 +744,10 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--port", type=int, default=8000)
     sv.add_argument("--max-delay-ms", type=float, default=5.0,
                     help="max time a request waits for its batch to fill")
+    sv.add_argument("--max-queue", type=int, default=256,
+                    help="admission bound: requests beyond this many "
+                         "pending get HTTP 503 (load shedding) instead "
+                         "of unbounded queueing; 0 disables")
     sv.add_argument("--score-timeout", type=float, default=60.0,
                     help="per-request scoring timeout in seconds")
     sv.add_argument("--platform", default=None, choices=["cpu", "tpu", "gpu"])

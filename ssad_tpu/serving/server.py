@@ -40,6 +40,10 @@ from typing import Callable, Optional, Sequence, Tuple
 import numpy as np
 
 
+class Overloaded(RuntimeError):
+    """The batcher's admission queue is full — shed load (HTTP 503)."""
+
+
 class _Request:
     __slots__ = ("image", "event", "result", "error", "t_submit")
 
@@ -59,12 +63,17 @@ class BatchingScorer:
         score_fn: Callable[[np.ndarray], Sequence[np.ndarray]],
         batch: int,
         max_delay_ms: float = 5.0,
+        max_queue: Optional[int] = 256,
     ):
         import collections
 
         self._score_fn = score_fn
         self.batch = int(batch)
         self.max_delay = max_delay_ms / 1e3
+        #: admission bound: when this many requests are already queued,
+        #: submit() sheds load (Overloaded → HTTP 503) instead of
+        #: growing latency without limit.  None disables the bound.
+        self.max_queue = max_queue
         self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self._lock = threading.Lock()
         # bounded: a serving daemon must not grow metrics without limit
@@ -81,6 +90,14 @@ class BatchingScorer:
     def submit(self, image: np.ndarray) -> _Request:
         if self._closed:
             raise RuntimeError("scorer is closed")
+        # qsize() is approximate under concurrency, which is fine for
+        # load shedding — the bound needs to hold statistically, not
+        # exactly (an off-by-a-few admission costs microseconds; an
+        # unbounded queue costs unbounded latency)
+        if self.max_queue is not None and self._queue.qsize() >= self.max_queue:
+            raise Overloaded(
+                f"admission queue full ({self.max_queue} pending)"
+            )
         req = _Request(np.asarray(image, dtype=np.float32))
         self._queue.put(req)
         return req
@@ -109,6 +126,8 @@ class BatchingScorer:
             "mean_batch_occupancy": float(np.mean(occ)) if occ else None,
             "latency_ms_p50": pct(0.50),
             "latency_ms_p95": pct(0.95),
+            "queue_depth": self._queue.qsize(),
+            "max_queue": self.max_queue,
         }
 
     def close(self):
@@ -312,9 +331,11 @@ class AnomalyHTTPServer:
                 else:
                     self._json(404, {"error": f"no route {path}"})
                     return
-                # client errors (bad body/geometry) → 400; scoring
-                # timeouts → 504; internal scorer faults → 500 (load
-                # balancers and retry logic key on the 4xx/5xx split)
+                # client errors (bad body/geometry) → 400; queue-full
+                # load shedding → 503; scoring timeouts → 504; internal
+                # scorer faults → 500 (load balancers and retry logic
+                # key on the 4xx/5xx split; 503 specifically signals
+                # "retry elsewhere / back off")
                 try:
                     image = _decode_image(body, tuple(meta["imsize"]))
                 except Exception as e:
@@ -346,6 +367,8 @@ class AnomalyHTTPServer:
                         if len(result) > 2:
                             payload["logits"] = np.asarray(result[2]).tolist()
                     self._json(200, payload)
+                except Overloaded as e:
+                    self._json(503, {"error": repr(e)})
                 except TimeoutError as e:
                     self._json(504, {"error": repr(e)})
                 except Exception as e:

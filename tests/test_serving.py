@@ -118,6 +118,38 @@ class TestBatchingScorer:
         assert req.event.wait(5)
         assert req.error is not None or req.result is not None
 
+    def test_overload_sheds_instead_of_queueing(self):
+        """With max_queue set, submissions beyond the bound raise
+        Overloaded immediately — bounded latency beats unbounded
+        queueing under overload."""
+        import time as _time
+
+        from ssad_tpu.serving.server import Overloaded
+
+        gate = threading.Event()
+
+        def slow(x):
+            gate.wait(10)
+            return _sum_scorer(x)
+
+        sc = self._make(batch=1, max_delay_ms=0.1, fn=slow)
+        sc.max_queue = 3
+        try:
+            reqs = [sc.submit(np.zeros((2, 2, 3), np.float32))
+                    for _ in range(3)]
+            # the collector may have already popped one — top the queue
+            # back up until the bound engages, then overflow must shed
+            deadline = _time.perf_counter() + 5
+            with pytest.raises(Overloaded):
+                while _time.perf_counter() < deadline:
+                    reqs.append(sc.submit(np.zeros((2, 2, 3), np.float32)))
+                raise AssertionError("bound never engaged")
+            st = sc.stats()
+            assert st["max_queue"] == 3 and st["queue_depth"] >= 3
+        finally:
+            gate.set()
+            sc.close()
+
     def test_stats_window_is_bounded(self):
         sc = self._make(batch=1, max_delay_ms=0.1)
         try:
@@ -243,6 +275,51 @@ class TestHTTPServer:
                 urllib.request.urlopen(req, timeout=30)
             assert exc.value.code == 504
         finally:
+            srv.stop()
+
+    def test_overload_is_503(self):
+        """Queue-full load shedding surfaces as HTTP 503 — the status
+        load balancers key on for back-off/retry-elsewhere."""
+        import threading as _threading
+
+        from ssad_tpu.serving.server import AnomalyHTTPServer, BatchingScorer
+
+        gate = _threading.Event()
+
+        def slow(x):
+            gate.wait(10)
+            return _sum_scorer(x)
+
+        sc = BatchingScorer(slow, batch=1, max_delay_ms=0.1, max_queue=1)
+        srv = AnomalyHTTPServer(
+            sc, {"mode": "image", "imsize": [8, 8]}, port=0, score_timeout=15
+        ).start()
+        try:
+            buf = io.BytesIO()
+            np.save(buf, np.zeros((8, 8, 3), np.float32))
+            body = buf.getvalue()
+            codes = []
+
+            def hit():
+                try:
+                    _post(srv.port, "/score", body)
+                    codes.append(200)
+                except urllib.error.HTTPError as e:
+                    codes.append(e.code)
+
+            threads = [_threading.Thread(target=hit) for _ in range(8)]
+            for t in threads:
+                t.start()
+            import time as _time
+
+            _time.sleep(0.5)  # let the burst pile up against the gate
+            gate.set()
+            for t in threads:
+                t.join(timeout=30)
+            assert 503 in codes  # overflow shed
+            assert 200 in codes  # admitted requests still served
+        finally:
+            gate.set()
             srv.stop()
 
     def test_concurrent_burst_no_resets(self, image_server):
