@@ -459,6 +459,85 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_serve_bench(args) -> int:
+    """Load-benchmark the serving stack (serving/loadgen.py): closed-loop
+    concurrent POSTs against either a freshly started in-process server
+    (--artifact, warmed before traffic) or an already-running one
+    (--url).  Prints one JSON line: qps, client latency percentiles,
+    shed/error counts, and the server's batcher stats."""
+    from urllib.parse import urlparse
+
+    from ssad_tpu.serving import loadgen
+
+    if bool(args.url) == bool(args.artifact):
+        raise SystemExit("pass exactly one of --url or --artifact")
+
+    server = None
+    if args.artifact:
+        from ssad_tpu.serving.export import load_scorer
+        from ssad_tpu.serving.server import AnomalyHTTPServer, BatchingScorer
+
+        _serving_compile_cache()
+        models = {}
+        for path in args.artifact:
+            scorer = load_scorer(path)
+            name = scorer.meta.get("subject") or Path(path).stem
+            if name in models:
+                raise SystemExit(f"duplicate model name {name!r} ({path})")
+            scorer.warmup()
+            models[name] = (
+                BatchingScorer(scorer, batch=scorer.batch,
+                               max_delay_ms=args.max_delay_ms,
+                               max_queue=args.max_queue or None),
+                scorer.meta,
+            )
+        server = AnomalyHTTPServer(
+            host="127.0.0.1", port=0, score_timeout=args.score_timeout,
+            models=models,
+        ).start()
+        host, port = "127.0.0.1", server.port
+        if len(models) == 1:
+            name, (_, meta) = next(iter(models.items()))
+            path = "/score"
+        else:
+            name = args.model or sorted(models)[0]
+            if name not in models:
+                raise SystemExit(f"--model {name!r} not among {sorted(models)}")
+            meta = models[name][1]
+            path = f"/score/{name}"
+        imsize = tuple(meta["imsize"])
+    else:
+        u = urlparse(args.url)
+        if not u.hostname:
+            raise SystemExit(f"cannot parse host from --url {args.url!r}")
+        host, port = u.hostname, u.port or 80
+        path = f"/score/{args.model}" if args.model else (
+            u.path if u.path and u.path != "/" else "/score"
+        )
+        imsize = (args.imsize, args.imsize)
+
+    body = loadgen.npy_body(imsize, seed=args.seed)
+    try:
+        if args.warmup:
+            # uncounted: warms connections, server threads, and (for a
+            # cold remote server) the per-program-hash backend warmup
+            loadgen.run_load(host, port, body, path=path,
+                             concurrency=min(args.concurrency, 4),
+                             total=args.warmup)
+        report = loadgen.run_load(
+            host, port, body, path=path,
+            concurrency=args.concurrency, total=args.requests,
+            timeout=args.score_timeout + 30.0,
+        )
+        report["target"] = f"http://{host}:{port}{path}"
+        report["server_stats"] = loadgen.fetch_stats(host, port)
+    finally:
+        if server is not None:
+            server.stop()
+    print(json.dumps(report))
+    return 0
+
+
 def cmd_profile(args) -> int:
     """Capture a jax.profiler device trace of a hot program — the fused
     train step (--what train) or the fused patch-scoring program
@@ -752,6 +831,38 @@ def build_parser() -> argparse.ArgumentParser:
                     help="per-request scoring timeout in seconds")
     sv.add_argument("--platform", default=None, choices=["cpu", "tpu", "gpu"])
     sv.set_defaults(fn=cmd_serve)
+
+    sb = sub.add_parser(
+        "serve-bench",
+        help="load-benchmark the serving stack (qps + client latency "
+             "percentiles + shed rate)",
+    )
+    sb.add_argument("--artifact", nargs="+", default=None,
+                    help="start an in-process server over these .ssadexp "
+                         "artifacts and benchmark it")
+    sb.add_argument("--url", default=None,
+                    help="benchmark a RUNNING server instead (e.g. "
+                         "http://127.0.0.1:8000)")
+    sb.add_argument("--model", default=None,
+                    help="model name for multi-model servers "
+                         "(POST /score/<name>)")
+    sb.add_argument("--concurrency", type=int, default=8,
+                    help="closed-loop workers, each keeping one request "
+                         "in flight")
+    sb.add_argument("--requests", type=int, default=200)
+    sb.add_argument("--warmup", type=int, default=16,
+                    help="uncounted warmup requests before timing; 0 skips")
+    sb.add_argument("--imsize", type=int, default=256,
+                    help="--url mode only: request image side (artifact "
+                         "mode reads it from the artifact)")
+    sb.add_argument("--max-delay-ms", type=float, default=5.0)
+    sb.add_argument("--max-queue", type=int, default=256,
+                    help="admission bound for the in-process server; 0 "
+                         "disables")
+    sb.add_argument("--score-timeout", type=float, default=60.0)
+    sb.add_argument("--seed", type=int, default=0)
+    sb.add_argument("--platform", default=None, choices=["cpu", "tpu", "gpu"])
+    sb.set_defaults(fn=cmd_serve_bench)
 
     l = sub.add_parser("localize", help="qualitative localization panels")
     common(l, models=True)

@@ -4,3 +4,6 @@ from ssad_tpu.serving.export import (  # noqa: F401
 from ssad_tpu.serving.server import (  # noqa: F401
     BatchingScorer, AnomalyHTTPServer,
 )
+from ssad_tpu.serving.loadgen import (  # noqa: F401
+    run_load, npy_body, fetch_stats,
+)

@@ -19,7 +19,9 @@ inference is an offline Lightning predict loop, tools.py:310-390.)
                  mode; {map_max, map_mean, heatmap_b64?} for patch mode
                  (`?heatmap=1` adds the base64 PNG heatmap).
   GET  /healthz  → {"ok": true}
-  GET  /stats    → batcher latency/occupancy counters.
+  GET  /stats    → batcher latency/occupancy counters (JSON, for humans)
+  GET  /metrics  → the same counters in Prometheus exposition format
+                 (for scrapers).
 
 Scorer plumbing is callable-agnostic: anything mapping a float32
 (B, H, W, 3) array to a tuple of per-row arrays serves — a deserialized
@@ -237,6 +239,43 @@ def _heatmap_png_b64(amap: np.ndarray) -> str:
     return base64.b64encode(buf.getvalue()).decode("ascii")
 
 
+def _prometheus_metrics(models: dict) -> str:
+    """BatchingScorer.stats() for every model → Prometheus text format.
+
+    Counter/gauge/summary naming per the exposition-format conventions;
+    one `model` label routes multi-model servers to per-model series.
+    """
+    lines = [
+        "# HELP ssad_requests_total Scored requests since start.",
+        "# TYPE ssad_requests_total counter",
+        "# HELP ssad_batches_total Executed scoring batches since start.",
+        "# TYPE ssad_batches_total counter",
+        "# HELP ssad_queue_depth Requests waiting for admission right now.",
+        "# TYPE ssad_queue_depth gauge",
+        "# HELP ssad_batch_occupancy_mean Mean filled fraction of recent batches.",
+        "# TYPE ssad_batch_occupancy_mean gauge",
+        "# HELP ssad_request_latency_ms Client-to-result latency quantiles over recent requests.",
+        "# TYPE ssad_request_latency_ms summary",
+    ]
+    for name, (scorer, _) in sorted(models.items()):
+        st = scorer.stats()
+        lab = f'{{model="{name}"}}'
+        lines.append(f"ssad_requests_total{lab} {st['requests']}")
+        lines.append(f"ssad_batches_total{lab} {st['batches']}")
+        lines.append(f"ssad_queue_depth{lab} {st['queue_depth']}")
+        if st["mean_batch_occupancy"] is not None:
+            lines.append(
+                f"ssad_batch_occupancy_mean{lab} {st['mean_batch_occupancy']:.6f}"
+            )
+        for q, key in (("0.5", "latency_ms_p50"), ("0.95", "latency_ms_p95")):
+            if st[key] is not None:
+                lines.append(
+                    f'ssad_request_latency_ms{{model="{name}",quantile="{q}"}} '
+                    f"{st[key]:.6f}"
+                )
+    return "\n".join(lines) + "\n"
+
+
 class AnomalyHTTPServer:
     """Bind one or many BatchingScorers to an HTTP port.  `port=0`
     picks a free port (read it back from `.port`).
@@ -282,8 +321,24 @@ class AnomalyHTTPServer:
                 self.end_headers()
                 self.wfile.write(body)
 
+            def _text(self, code: int, body: str, ctype: str):
+                payload = body.encode("utf-8")
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+
             def do_GET(self):
-                if self.path == "/healthz":
+                if self.path == "/metrics":
+                    # Prometheus exposition format — the scrape surface
+                    # monitoring fleets actually consume (/stats is the
+                    # human-readable JSON twin).  Quantiles follow the
+                    # summary-metric convention; occupancy/queue depth
+                    # are gauges.
+                    self._text(200, _prometheus_metrics(outer.models),
+                               "text/plain; version=0.0.4")
+                elif self.path == "/healthz":
                     if len(outer.models) > 1:
                         payload = {"ok": True, "models": {
                             name: m.get("mode")

@@ -811,3 +811,132 @@ class TestCliExport:
             assert len(res["logits"]) == engine.model.num_classes
         finally:
             srv.stop()
+
+
+# ---------------------------------------------------------------------------
+# Load generator (serving/loadgen.py)
+# ---------------------------------------------------------------------------
+
+
+class TestLoadgen:
+    def test_npy_body_matches_geometry(self):
+        from ssad_tpu.serving.loadgen import npy_body
+
+        arr = np.load(io.BytesIO(npy_body((8, 8), seed=3)))
+        assert arr.shape == (8, 8, 3) and arr.dtype == np.float32
+        assert 0.0 <= arr.min() and arr.max() < 1.0
+
+    def test_closed_loop_run_against_stub_server(self, image_server):
+        """Every request lands, qps is positive, latency percentiles
+        are ordered, and the server-side batcher saw the traffic."""
+        from ssad_tpu.serving.loadgen import fetch_stats, npy_body, run_load
+
+        body = npy_body((8, 8))
+        report = run_load(
+            "127.0.0.1", image_server.port, body,
+            concurrency=4, total=40,
+        )
+        assert report["ok"] == 40
+        assert report["shed"] == 0 and report["errors"] == 0
+        assert report["qps"] > 0
+        lat = report["latency_ms"]
+        assert lat["p50"] <= lat["p95"] <= lat["p99"] <= lat["max"]
+        st = fetch_stats("127.0.0.1", image_server.port)
+        assert st["requests"] >= 40
+        assert 0 < st["mean_batch_occupancy"] <= 1.0
+
+    def test_shed_requests_counted_not_errored(self):
+        """Against a slow batch-1 scorer with a 1-deep admission queue,
+        a concurrent closed loop must see 503s — and the report must
+        separate them from transport errors and keep the books
+        balanced."""
+        import time as _time
+
+        from ssad_tpu.serving.loadgen import npy_body, run_load
+        from ssad_tpu.serving.server import AnomalyHTTPServer, BatchingScorer
+
+        def slow(x):
+            _time.sleep(0.05)
+            return (x.reshape(x.shape[0], -1).sum(axis=1),
+                    np.zeros(x.shape[0], np.int32))
+
+        sc = BatchingScorer(slow, batch=1, max_delay_ms=0.1, max_queue=1)
+        meta = {"mode": "image", "imsize": [8, 8]}
+        srv = AnomalyHTTPServer(sc, meta, port=0).start()
+        try:
+            report = run_load(
+                "127.0.0.1", srv.port, npy_body((8, 8)),
+                concurrency=8, total=24,
+            )
+            assert report["ok"] + report["shed"] + report["errors"] == 24
+            assert report["shed"] > 0
+            assert report["errors"] == 0
+        finally:
+            srv.stop()
+
+
+@pytest.mark.slow
+class TestCliServeBench:
+    def test_serve_bench_over_real_artifact(self, tiny_checkpoint, tmp_path,
+                                            capsys):
+        """cli serve-bench --artifact: exports nothing itself — it
+        warms the artifact, starts the in-process HTTP server, drives
+        the closed loop, and prints one JSON report."""
+        from ssad_tpu.cli import main
+        from ssad_tpu.serving.export import export_checkpoint
+
+        path = export_checkpoint(
+            str(tiny_checkpoint / "bottle" / "best_model"),
+            str(tmp_path / "img.ssadexp"), mode="image", batch=2,
+        )
+        rc = main([
+            "serve-bench", "--artifact", path,
+            "--concurrency", "2", "--requests", "12", "--warmup", "2",
+        ])
+        assert rc == 0
+        report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert report["ok"] == 12
+        assert report["errors"] == 0
+        assert report["qps"] > 0
+        assert report["latency_ms"]["p50"] > 0
+        assert report["server_stats"]["requests"] >= 12
+        assert report["target"].endswith("/score")
+
+
+class TestMetricsEndpoint:
+    def test_prometheus_exposition(self, image_server):
+        buf = io.BytesIO()
+        np.save(buf, np.ones((8, 8, 3), np.float32))
+        _post(image_server.port, "/score", buf.getvalue())
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{image_server.port}/metrics", timeout=30
+        ) as r:
+            assert r.headers["Content-Type"].startswith("text/plain")
+            body = r.read().decode()
+        assert "# TYPE ssad_requests_total counter" in body
+        assert 'ssad_requests_total{model="default"} 1' in body
+        assert 'ssad_request_latency_ms{model="default",quantile="0.5"}' in body
+        assert 'ssad_batch_occupancy_mean{model="default"}' in body
+
+    def test_per_model_series(self):
+        from ssad_tpu.serving.server import AnomalyHTTPServer, BatchingScorer
+
+        models = {
+            "bottle": (BatchingScorer(_sum_scorer, batch=2, max_delay_ms=2.0),
+                       {"mode": "image", "imsize": [8, 8]}),
+            "carpet": (BatchingScorer(_sum_scorer, batch=2, max_delay_ms=2.0),
+                       {"mode": "image", "imsize": [8, 8]}),
+        }
+        srv = AnomalyHTTPServer(models=models, port=0).start()
+        try:
+            buf = io.BytesIO()
+            np.save(buf, np.ones((8, 8, 3), np.float32))
+            _post(srv.port, "/score/carpet", buf.getvalue())
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/metrics", timeout=30
+            ) as r:
+                body = r.read().decode()
+            assert 'ssad_requests_total{model="bottle"} 0' in body
+            assert 'ssad_requests_total{model="carpet"} 1' in body
+        finally:
+            srv.stop()
