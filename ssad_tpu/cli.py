@@ -538,6 +538,110 @@ def cmd_serve_bench(args) -> int:
     return 0
 
 
+def cmd_score(args) -> int:
+    """Offline batch scoring of arbitrary image files with an exported
+    AOT artifact — the deployment twin of `serve`: no MVTec layout, no
+    checkpoint, no model code on the host.  Takes files and/or
+    directories, writes scores.csv (and heatmap PNGs in patch mode with
+    --heatmaps), prints one JSON summary line.  (The reference can only
+    score data arranged as an MVTec category via its predict loop,
+    tools.py:310-390.)"""
+    import csv
+
+    import numpy as np
+
+    from ssad_tpu.data.mvtec import load_image
+    from ssad_tpu.serving.export import load_scorer
+
+    _serving_compile_cache()
+    scorer = load_scorer(args.artifact)
+    h, w = scorer.meta["imsize"]
+    mode = scorer.meta.get("mode", "image")
+
+    exts = {".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff", ".npy"}
+    paths = []
+    for item in args.images:
+        p = Path(item)
+        if p.is_dir():
+            paths.extend(
+                q for q in sorted(p.rglob("*")) if q.suffix.lower() in exts
+            )
+        elif p.exists():
+            paths.append(p)
+        else:
+            raise SystemExit(f"no such file or directory: {item}")
+    if not paths:
+        raise SystemExit("no images found under the given paths")
+
+    def load_any(p: Path) -> np.ndarray:
+        if p.suffix.lower() == ".npy":
+            arr = np.asarray(np.load(p), np.float32)
+            if arr.shape != (h, w, 3):
+                raise SystemExit(
+                    f"{p}: .npy must be ({h}, {w}, 3) to match the "
+                    f"artifact geometry, got {arr.shape}"
+                )
+            return arr
+        return load_image(p, (h, w))
+
+    out_dir = Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    heat_dir = None
+    if args.heatmaps:
+        if mode != "patch":
+            raise SystemExit("--heatmaps needs a patch-mode artifact")
+        heat_dir = out_dir / "heatmaps"
+        heat_dir.mkdir(exist_ok=True)
+
+    rows = []
+    n_anomalous = 0
+    # host-side chunking bounds peak memory for big folders; ServedScorer
+    # additionally chunks to the artifact's compiled batch internally
+    for lo in range(0, len(paths), args.chunk):
+        batch_paths = paths[lo : lo + args.chunk]
+        imgs = np.stack([load_any(p) for p in batch_paths])
+        results = scorer(imgs)
+        if mode == "patch":
+            maps = np.asarray(results[0])
+            for p, m in zip(batch_paths, maps):
+                rows.append((str(p), float(m.max()), float(m.mean())))
+                if heat_dir is not None:
+                    from PIL import Image
+
+                    rng = float(m.max() - m.min()) or 1.0
+                    png = ((m - m.min()) / rng * 255).astype(np.uint8)
+                    Image.fromarray(png).save(heat_dir / f"{p.stem}.png")
+        else:
+            scores = np.asarray(results[0])
+            labels = np.asarray(results[1])
+            n_anomalous += int(labels.sum())
+            rows.extend(
+                (str(p), float(s), int(y))
+                for p, s, y in zip(batch_paths, scores, labels)
+            )
+
+    csv_path = out_dir / "scores.csv"
+    with open(csv_path, "w", newline="") as f:
+        wr = csv.writer(f)
+        if mode == "patch":
+            wr.writerow(["path", "map_max", "map_mean"])
+        else:
+            wr.writerow(["path", "score", "label"])
+        wr.writerows(rows)
+    summary = {
+        "mode": mode,
+        "n": len(rows),
+        "csv": str(csv_path),
+        "threshold": scorer.meta.get("threshold"),
+    }
+    if mode == "image":
+        summary["n_anomalous"] = n_anomalous
+    if heat_dir is not None:
+        summary["heatmaps"] = str(heat_dir)
+    print(json.dumps(summary))
+    return 0
+
+
 def cmd_profile(args) -> int:
     """Capture a jax.profiler device trace of a hot program — the fused
     train step (--what train) or the fused patch-scoring program
@@ -863,6 +967,26 @@ def build_parser() -> argparse.ArgumentParser:
     sb.add_argument("--seed", type=int, default=0)
     sb.add_argument("--platform", default=None, choices=["cpu", "tpu", "gpu"])
     sb.set_defaults(fn=cmd_serve_bench)
+
+    sc = sub.add_parser(
+        "score",
+        help="offline batch scoring of arbitrary image files/folders "
+             "with an exported artifact (scores.csv + optional heatmaps)",
+    )
+    sc.add_argument("--artifact", required=True,
+                    help="one .ssadexp artifact (image or patch mode)")
+    sc.add_argument("images", nargs="+",
+                    help="image files and/or directories (searched "
+                         "recursively for png/jpg/bmp/tif/npy)")
+    sc.add_argument("--out", default="outputs/score",
+                    help="output directory for scores.csv (and heatmaps/)")
+    sc.add_argument("--heatmaps", action="store_true",
+                    help="patch mode: also write one normalized heatmap "
+                         "PNG per image")
+    sc.add_argument("--chunk", type=int, default=64,
+                    help="images decoded/held on host per scoring call")
+    sc.add_argument("--platform", default=None, choices=["cpu", "tpu", "gpu"])
+    sc.set_defaults(fn=cmd_score)
 
     l = sub.add_parser("localize", help="qualitative localization panels")
     common(l, models=True)

@@ -940,3 +940,87 @@ class TestMetricsEndpoint:
             assert 'ssad_requests_total{model="carpet"} 1' in body
         finally:
             srv.stop()
+
+
+@pytest.mark.slow
+class TestCliScore:
+    def test_folder_scoring_image_mode(self, tiny_checkpoint, tmp_path, capsys):
+        """cli score over a mixed folder (PNG + npy): one CSV row per
+        image, labels from the artifact's calibrated threshold."""
+        from PIL import Image
+
+        from ssad_tpu.cli import main
+        from ssad_tpu.serving.export import export_checkpoint
+
+        art = export_checkpoint(
+            str(tiny_checkpoint / "bottle" / "best_model"),
+            str(tmp_path / "img.ssadexp"), mode="image", batch=2,
+        )
+        folder = tmp_path / "imgs"
+        folder.mkdir()
+        rng = np.random.default_rng(0)
+        for i in range(2):
+            Image.fromarray(
+                (rng.uniform(size=(64, 64, 3)) * 255).astype(np.uint8)
+            ).save(folder / f"im{i}.png")
+        np.save(folder / "raw.npy",
+                rng.uniform(size=(64, 64, 3)).astype(np.float32))
+        (folder / "notes.txt").write_text("ignored")
+
+        out = tmp_path / "scored"
+        rc = main(["score", "--artifact", art, str(folder), "--out", str(out)])
+        assert rc == 0
+        summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert summary["mode"] == "image" and summary["n"] == 3
+        import csv as _csv
+
+        with open(summary["csv"]) as f:
+            rows = list(_csv.DictReader(f))
+        assert len(rows) == 3
+        assert {r["path"].rsplit("/", 1)[-1] for r in rows} == {
+            "im0.png", "im1.png", "raw.npy"
+        }
+        for r in rows:
+            assert np.isfinite(float(r["score"]))
+            assert r["label"] in ("0", "1")
+
+    def test_patch_mode_heatmaps(self, tiny_checkpoint, fake_mvtec, tmp_path,
+                                 capsys):
+        from PIL import Image
+
+        from ssad_tpu.cli import main
+        from ssad_tpu.serving.export import export_checkpoint
+
+        art = export_checkpoint(
+            str(tiny_checkpoint / "bottle" / "best_model"),
+            str(tmp_path / "p.ssadexp"), mode="patch", batch=2,
+            patch_dim=16, stride=16, dataset_dir=str(fake_mvtec),
+            n_normality_images=2,
+        )
+        img = tmp_path / "one.png"
+        Image.fromarray(
+            (np.random.default_rng(1).uniform(size=(64, 64, 3)) * 255
+             ).astype(np.uint8)
+        ).save(img)
+        out = tmp_path / "scored_patch"
+        rc = main(["score", "--artifact", art, str(img), "--out", str(out),
+                   "--heatmaps"])
+        assert rc == 0
+        summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert summary["mode"] == "patch" and summary["n"] == 1
+        hm = Image.open(out / "heatmaps" / "one.png")
+        assert hm.size == (64, 64)
+
+    def test_npy_geometry_mismatch_fails_loud(self, tiny_checkpoint, tmp_path):
+        from ssad_tpu.cli import main
+        from ssad_tpu.serving.export import export_checkpoint
+
+        art = export_checkpoint(
+            str(tiny_checkpoint / "bottle" / "best_model"),
+            str(tmp_path / "img2.ssadexp"), mode="image", batch=2,
+        )
+        bad = tmp_path / "bad.npy"
+        np.save(bad, np.zeros((8, 8, 3), np.float32))
+        with pytest.raises(SystemExit, match="must be"):
+            main(["score", "--artifact", art, str(bad),
+                  "--out", str(tmp_path / "o")])
