@@ -405,32 +405,45 @@ def cmd_export(args) -> int:
     return 0
 
 
+def _load_artifact_models(paths, max_delay_ms: float, max_queue):
+    """Artifact paths → ({name: (BatchingScorer, meta)}, warmup_s).
+
+    Each program is warmed BEFORE accepting traffic: the first
+    execution of a deserialized program triggers (remote-tunneled)
+    compilation that must not land on a live request's latency budget.
+    Shared by `serve` and `serve-bench` so the benchmarked stack IS
+    the served one."""
+    from ssad_tpu.serving.export import load_scorer
+    from ssad_tpu.serving.server import BatchingScorer
+
+    models = {}
+    total_warmup = 0.0
+    for path in paths:
+        scorer = load_scorer(path)
+        name = scorer.meta.get("subject") or Path(path).stem
+        if name in models:
+            raise SystemExit(f"duplicate model name {name!r} ({path})")
+        total_warmup += scorer.warmup()
+        models[name] = (
+            BatchingScorer(scorer, batch=scorer.batch,
+                           max_delay_ms=max_delay_ms,
+                           max_queue=max_queue or None),
+            scorer.meta,
+        )
+    return models, total_warmup
+
+
 def cmd_serve(args) -> int:
     """Serve an exported artifact over HTTP with dynamic batching
     (serving/server.py).  Blocks until interrupted."""
     import time as _time
 
-    from ssad_tpu.serving.export import load_scorer
-    from ssad_tpu.serving.server import AnomalyHTTPServer, BatchingScorer
+    from ssad_tpu.serving.server import AnomalyHTTPServer
 
     _serving_compile_cache()
-    models = {}
-    total_warmup = 0.0
-    for path in args.artifact:
-        scorer = load_scorer(path)
-        name = scorer.meta.get("subject") or Path(path).stem
-        if name in models:
-            raise SystemExit(f"duplicate model name {name!r} ({path})")
-        # compile before accepting traffic: the first execution of a
-        # deserialized program triggers (remote-tunneled) compilation
-        # that must not land on a live request's latency budget
-        total_warmup += scorer.warmup()
-        models[name] = (
-            BatchingScorer(scorer, batch=scorer.batch,
-                           max_delay_ms=args.max_delay_ms,
-                           max_queue=args.max_queue or None),
-            scorer.meta,
-        )
+    models, total_warmup = _load_artifact_models(
+        args.artifact, args.max_delay_ms, args.max_queue
+    )
     server = AnomalyHTTPServer(
         host=args.host, port=args.port, score_timeout=args.score_timeout,
         models=models,
@@ -474,40 +487,37 @@ def cmd_serve_bench(args) -> int:
 
     server = None
     if args.artifact:
-        from ssad_tpu.serving.export import load_scorer
-        from ssad_tpu.serving.server import AnomalyHTTPServer, BatchingScorer
+        from ssad_tpu.serving.server import AnomalyHTTPServer
 
         _serving_compile_cache()
-        models = {}
-        for path in args.artifact:
-            scorer = load_scorer(path)
-            name = scorer.meta.get("subject") or Path(path).stem
-            if name in models:
-                raise SystemExit(f"duplicate model name {name!r} ({path})")
-            scorer.warmup()
-            models[name] = (
-                BatchingScorer(scorer, batch=scorer.batch,
-                               max_delay_ms=args.max_delay_ms,
-                               max_queue=args.max_queue or None),
-                scorer.meta,
-            )
+        models, _ = _load_artifact_models(
+            args.artifact, args.max_delay_ms, args.max_queue
+        )
         server = AnomalyHTTPServer(
             host="127.0.0.1", port=0, score_timeout=args.score_timeout,
             models=models,
         ).start()
         host, port = "127.0.0.1", server.port
+        # validate --model in BOTH branches: silently benchmarking a
+        # different model than the one the operator named is worse
+        # than an error
+        if args.model and args.model not in models:
+            raise SystemExit(f"--model {args.model!r} not among {sorted(models)}")
         if len(models) == 1:
             name, (_, meta) = next(iter(models.items()))
             path = "/score"
         else:
             name = args.model or sorted(models)[0]
-            if name not in models:
-                raise SystemExit(f"--model {name!r} not among {sorted(models)}")
             meta = models[name][1]
             path = f"/score/{name}"
         imsize = tuple(meta["imsize"])
     else:
         u = urlparse(args.url)
+        if u.scheme not in ("", "http"):
+            raise SystemExit(
+                f"--url scheme {u.scheme!r} is not supported (the load "
+                f"generator speaks plain http)"
+            )
         if not u.hostname:
             raise SystemExit(f"cannot parse host from --url {args.url!r}")
         host, port = u.hostname, u.port or 80
@@ -573,15 +583,30 @@ def cmd_score(args) -> int:
     if not paths:
         raise SystemExit("no images found under the given paths")
 
-    def load_any(p: Path) -> np.ndarray:
+    # fail on mis-shaped .npy files BEFORE any scoring happens (header
+    # read only, no data load): a bad file sorting last must not abort
+    # a folder run after hours of tunneled-TPU work
+    for p in paths:
         if p.suffix.lower() == ".npy":
-            arr = np.asarray(np.load(p), np.float32)
-            if arr.shape != (h, w, 3):
+            with open(p, "rb") as f:
+                version = np.lib.format.read_magic(f)
+                reader = {
+                    (1, 0): np.lib.format.read_array_header_1_0,
+                    (2, 0): np.lib.format.read_array_header_2_0,
+                }.get(tuple(version))
+                if reader is None:
+                    shape = np.load(p).shape
+                else:
+                    shape, _, _ = reader(f)
+            if shape != (h, w, 3):
                 raise SystemExit(
                     f"{p}: .npy must be ({h}, {w}, 3) to match the "
-                    f"artifact geometry, got {arr.shape}"
+                    f"artifact geometry, got {shape}"
                 )
-            return arr
+
+    def load_any(p: Path) -> np.ndarray:
+        if p.suffix.lower() == ".npy":
+            return np.asarray(np.load(p), np.float32)
         return load_image(p, (h, w))
 
     out_dir = Path(args.out)
@@ -593,44 +618,47 @@ def cmd_score(args) -> int:
         heat_dir = out_dir / "heatmaps"
         heat_dir.mkdir(exist_ok=True)
 
-    rows = []
+    n_rows = 0
     n_anomalous = 0
-    # host-side chunking bounds peak memory for big folders; ServedScorer
-    # additionally chunks to the artifact's compiled batch internally
-    for lo in range(0, len(paths), args.chunk):
-        batch_paths = paths[lo : lo + args.chunk]
-        imgs = np.stack([load_any(p) for p in batch_paths])
-        results = scorer(imgs)
-        if mode == "patch":
-            maps = np.asarray(results[0])
-            for p, m in zip(batch_paths, maps):
-                rows.append((str(p), float(m.max()), float(m.mean())))
-                if heat_dir is not None:
-                    from PIL import Image
-
-                    rng = float(m.max() - m.min()) or 1.0
-                    png = ((m - m.min()) / rng * 255).astype(np.uint8)
-                    Image.fromarray(png).save(heat_dir / f"{p.stem}.png")
-        else:
-            scores = np.asarray(results[0])
-            labels = np.asarray(results[1])
-            n_anomalous += int(labels.sum())
-            rows.extend(
-                (str(p), float(s), int(y))
-                for p, s, y in zip(batch_paths, scores, labels)
-            )
-
     csv_path = out_dir / "scores.csv"
+    # rows are written as each chunk completes, so a crash/interrupt
+    # partway keeps everything scored so far; host-side chunking bounds
+    # peak memory and ServedScorer additionally chunks to the compiled
+    # batch internally
     with open(csv_path, "w", newline="") as f:
         wr = csv.writer(f)
-        if mode == "patch":
-            wr.writerow(["path", "map_max", "map_mean"])
-        else:
-            wr.writerow(["path", "score", "label"])
-        wr.writerows(rows)
+        wr.writerow(["path", "map_max", "map_mean"] if mode == "patch"
+                    else ["path", "score", "label"])
+        for lo in range(0, len(paths), args.chunk):
+            batch_paths = paths[lo : lo + args.chunk]
+            imgs = np.stack([load_any(p) for p in batch_paths])
+            results = scorer(imgs)
+            if mode == "patch":
+                maps = np.asarray(results[0])
+                for i, (p, m) in enumerate(zip(batch_paths, maps)):
+                    wr.writerow([str(p), float(m.max()), float(m.mean())])
+                    if heat_dir is not None:
+                        from PIL import Image
+
+                        from ssad_tpu.serving.server import heatmap_to_uint8
+
+                        # index prefix: stems alone collide across
+                        # subfolders (MVTec itself reuses 000.png)
+                        Image.fromarray(heatmap_to_uint8(m)).save(
+                            heat_dir / f"{lo + i:05d}_{p.stem}.png"
+                        )
+            else:
+                scores = np.asarray(results[0])
+                labels = np.asarray(results[1])
+                n_anomalous += int(labels.sum())
+                for p, s, y in zip(batch_paths, scores, labels):
+                    wr.writerow([str(p), float(s), int(y)])
+            n_rows += len(batch_paths)
+            f.flush()
+
     summary = {
         "mode": mode,
-        "n": len(rows),
+        "n": n_rows,
         "csv": str(csv_path),
         "threshold": scorer.meta.get("threshold"),
     }

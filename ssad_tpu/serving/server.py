@@ -227,15 +227,23 @@ def _decode_image(body: bytes, imsize: Tuple[int, int]) -> np.ndarray:
     return load_image(io.BytesIO(body), imsize)
 
 
+def heatmap_to_uint8(amap: np.ndarray) -> np.ndarray:
+    """Min-max normalize an anomaly map to a uint8 grayscale image —
+    the ONE rendering policy shared by the HTTP `?heatmap=1` response
+    and `cli score --heatmaps` (diverging copies would make the same
+    artifact render differently per surface)."""
+    lo, hi = float(amap.min()), float(amap.max())
+    norm = (amap - lo) / (hi - lo + 1e-12)
+    return (norm * 255).astype(np.uint8)
+
+
 def _heatmap_png_b64(amap: np.ndarray) -> str:
     import base64
 
     from PIL import Image
 
-    lo, hi = float(amap.min()), float(amap.max())
-    norm = (amap - lo) / (hi - lo + 1e-12)
     buf = io.BytesIO()
-    Image.fromarray((norm * 255).astype(np.uint8)).save(buf, format="PNG")
+    Image.fromarray(heatmap_to_uint8(amap)).save(buf, format="PNG")
     return base64.b64encode(buf.getvalue()).decode("ascii")
 
 
@@ -245,34 +253,41 @@ def _prometheus_metrics(models: dict) -> str:
     Counter/gauge/summary naming per the exposition-format conventions;
     one `model` label routes multi-model servers to per-model series.
     """
-    lines = [
-        "# HELP ssad_requests_total Scored requests since start.",
-        "# TYPE ssad_requests_total counter",
-        "# HELP ssad_batches_total Executed scoring batches since start.",
-        "# TYPE ssad_batches_total counter",
-        "# HELP ssad_queue_depth Requests waiting for admission right now.",
-        "# TYPE ssad_queue_depth gauge",
-        "# HELP ssad_batch_occupancy_mean Mean filled fraction of recent batches.",
-        "# TYPE ssad_batch_occupancy_mean gauge",
-        "# HELP ssad_request_latency_ms Client-to-result latency quantiles over recent requests.",
-        "# TYPE ssad_request_latency_ms summary",
-    ]
-    for name, (scorer, _) in sorted(models.items()):
-        st = scorer.stats()
-        lab = f'{{model="{name}"}}'
-        lines.append(f"ssad_requests_total{lab} {st['requests']}")
-        lines.append(f"ssad_batches_total{lab} {st['batches']}")
-        lines.append(f"ssad_queue_depth{lab} {st['queue_depth']}")
-        if st["mean_batch_occupancy"] is not None:
-            lines.append(
-                f"ssad_batch_occupancy_mean{lab} {st['mean_batch_occupancy']:.6f}"
-            )
-        for q, key in (("0.5", "latency_ms_p50"), ("0.95", "latency_ms_p95")):
-            if st[key] is not None:
-                lines.append(
-                    f'ssad_request_latency_ms{{model="{name}",quantile="{q}"}} '
-                    f"{st[key]:.6f}"
-                )
+    stats = {name: sc.stats() for name, (sc, _) in sorted(models.items())}
+
+    # the exposition format requires each metric family to be ONE
+    # uninterrupted group (HELP/TYPE first, then every sample) — strict
+    # parsers reject interleaved families
+    families = (
+        ("ssad_requests_total", "counter",
+         "Scored requests since start.",
+         lambda st, name: [(f'{{model="{name}"}}', st["requests"])]),
+        ("ssad_batches_total", "counter",
+         "Executed scoring batches since start.",
+         lambda st, name: [(f'{{model="{name}"}}', st["batches"])]),
+        ("ssad_queue_depth", "gauge",
+         "Requests waiting for admission right now.",
+         lambda st, name: [(f'{{model="{name}"}}', st["queue_depth"])]),
+        ("ssad_batch_occupancy_mean", "gauge",
+         "Mean filled fraction of recent batches.",
+         lambda st, name: [] if st["mean_batch_occupancy"] is None else
+         [(f'{{model="{name}"}}', f"{st['mean_batch_occupancy']:.6f}")]),
+        ("ssad_request_latency_ms", "summary",
+         "Client-to-result latency quantiles over recent requests.",
+         lambda st, name: [
+             (f'{{model="{name}",quantile="{q}"}}', f"{st[key]:.6f}")
+             for q, key in (("0.5", "latency_ms_p50"),
+                            ("0.95", "latency_ms_p95"))
+             if st[key] is not None
+         ]),
+    )
+    lines = []
+    for fam, kind, help_text, samples in families:
+        lines.append(f"# HELP {fam} {help_text}")
+        lines.append(f"# TYPE {fam} {kind}")
+        for name, st in stats.items():
+            for labels, value in samples(st, name):
+                lines.append(f"{fam}{labels} {value}")
     return "\n".join(lines) + "\n"
 
 
@@ -310,6 +325,12 @@ class AnomalyHTTPServer:
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
+            # HTTP/1.1 for keep-alive: the stdlib default (HTTP/1.0)
+            # closes the socket after every response, making each
+            # client request pay a fresh TCP connect.  Safe here: every
+            # response path sends Content-Length (_json/_text).
+            protocol_version = "HTTP/1.1"
+
             def log_message(self, *args):  # quiet
                 pass
 

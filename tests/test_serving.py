@@ -904,6 +904,40 @@ class TestCliServeBench:
 
 
 class TestMetricsEndpoint:
+    def test_http11_keepalive(self, image_server):
+        """The server must speak HTTP/1.1 so closed-loop clients reuse
+        connections (HTTP/1.0 forces a TCP connect per request, which
+        would pollute every serve-bench latency number)."""
+        import http.client
+
+        conn = http.client.HTTPConnection("127.0.0.1", image_server.port,
+                                          timeout=30)
+        for _ in range(2):  # second request must ride the same socket
+            conn.request("GET", "/healthz")
+            resp = conn.getresponse()
+            resp.read()
+            assert resp.version == 11
+            assert resp.status == 200
+        conn.close()
+
+    def test_families_are_grouped(self, image_server):
+        """Prometheus text format: every line of a metric family must
+        form one uninterrupted group (HELP/TYPE first, then all
+        samples) — strict parsers reject interleaved families."""
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{image_server.port}/metrics", timeout=30
+        ) as r:
+            lines = r.read().decode().strip().splitlines()
+        fam = lambda ln: ln.split()[2] if ln.startswith("#") else \
+            ln.split("{")[0].split()[0]
+        seen, prev = set(), None
+        for ln in lines:
+            f = fam(ln)
+            if f != prev:
+                assert f not in seen, f"family {f} interleaved"
+                seen.add(f)
+                prev = f
+
     def test_prometheus_exposition(self, image_server):
         buf = io.BytesIO()
         np.save(buf, np.ones((8, 8, 3), np.float32))
@@ -1008,7 +1042,8 @@ class TestCliScore:
         assert rc == 0
         summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert summary["mode"] == "patch" and summary["n"] == 1
-        hm = Image.open(out / "heatmaps" / "one.png")
+        # index-prefixed name: bare stems collide across subfolders
+        hm = Image.open(out / "heatmaps" / "00000_one.png")
         assert hm.size == (64, 64)
 
     def test_npy_geometry_mismatch_fails_loud(self, tiny_checkpoint, tmp_path):
