@@ -199,6 +199,8 @@ def cmd_evaluate(args) -> int:
         seed=args.seed,
         scorer=args.scorer,
         data_shards=args.data_shards,
+        n_normality_images=args.n_normality_images,
+        coreset=args.coreset,
     )
     results = evaluate_categories(
         args.dataset_dir, args.models_dir, _subjects(args), cfg, args.outputs_dir
@@ -337,7 +339,7 @@ def cmd_infer(args) -> int:
     outputs, detector = inf.attach_anomaly_scores(
         outputs, normality, patch_localization=patch, num_images=n_img,
         patches_per_image=ppi, k=args.knn_k, seed=args.seed,
-        scorer=args.scorer,
+        scorer=args.scorer, coreset=args.coreset,
     )
     maps = outputs.anomaly_maps
     if patch:
@@ -396,6 +398,7 @@ def cmd_export(args) -> int:
         dataset_dir=args.dataset_dir,
         n_normality_images=args.n_normality_images,
         dtype=args.dtype, scorer=args.scorer, seed=args.seed,
+        coreset=args.coreset,
     )
     print(json.dumps({
         "artifact": path,
@@ -861,6 +864,14 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--data-shards", type=int, default=None,
                    help="shard scoring batches over the first N devices "
                         "(data-parallel inference via shard_map)")
+    e.add_argument("--n-normality-images", type=int,
+                   default=EvalConfig().n_normality_images,
+                   help="patch mode: training images re-embedded for "
+                        "normality (raise together with --coreset)")
+    e.add_argument("--coreset", type=int, default=None,
+                   help="distill normality to N rows by k-center-greedy "
+                        "coreset selection before fitting the detector "
+                        "(default: keep every row)")
     e.set_defaults(fn=cmd_evaluate)
 
     inf_p = sub.add_parser(
@@ -879,6 +890,9 @@ def build_parser() -> argparse.ArgumentParser:
     inf_p.add_argument("--data-shards", type=int, default=None,
                        help="shard scoring batches over the first N devices "
                             "(data-parallel inference via shard_map)")
+    inf_p.add_argument("--coreset", type=int, default=None,
+                       help="distill normality to N rows by k-center-greedy "
+                            "coreset selection before fitting the detector")
     inf_p.set_defaults(fn=cmd_infer)
 
     pr = sub.add_parser(
@@ -921,6 +935,10 @@ def build_parser() -> argparse.ArgumentParser:
     ex.add_argument("--n-normality-images", type=int, default=None,
                     help="cap the training images embedded for patch "
                          "normality (default: all)")
+    ex.add_argument("--coreset", type=int, default=None,
+                    help="distill normality to N rows by k-center-greedy "
+                         "coreset selection before fitting (keeps the "
+                         "baked bank small while covering many images)")
     ex.add_argument("--dtype", default=None, choices=["bfloat16", "int8"],
                     help="serving weight compression: bfloat16 cast (halves "
                          "the artifact) or weight-only per-channel int8 "

@@ -217,6 +217,15 @@ class EvalConfig:
     #: models.py:345-370) or 'mahalanobis' (parametric Gaussian
     #: alternative, models/detector.py:MahalanobisDetector)
     scorer: str = "knn"
+    #: patch mode: how many training images to re-embed for normality
+    #: (the reference's localizer embeds a handful, localizer.py:55-90)
+    n_normality_images: int = 3
+    #: distill the normality embeddings to this many rows by
+    #: k-center-greedy coreset selection (ops/coreset.py) before
+    #: fitting the detector — lets MANY more training images back the
+    #: bank at the same scoring cost.  None = keep every row (the
+    #: reference behavior).
+    coreset: Optional[int] = None
     imsize: Tuple[int, int] = (256, 256)
     batch_size: int = 32
     seed: int = 0

@@ -234,10 +234,12 @@ def evaluate_category(
     subject: str,
     outputs_dir: Optional[str] = None,
     with_artificial: bool = True,
-    n_normality_images: int = 3,
+    n_normality_images: Optional[int] = None,
 ) -> CategoryResult:
     result = CategoryResult(subject=subject)
     h, w = cfg.imsize
+    if n_normality_images is None:
+        n_normality_images = cfg.n_normality_images
 
     if not cfg.patch_localization:
         # --- image level (evaluator.py:243-281, :334-352) ---
@@ -341,6 +343,12 @@ def evaluate_category(
             max_images=n_normality_images,
             seed=cfg.seed,
         )
+        if cfg.coreset is not None:
+            from ssad_tpu.ops.coreset import coreset_select
+
+            normality = coreset_select(
+                normality, cfg.coreset, jax.random.key(cfg.seed)
+            )
         if cfg.scorer == "mahalanobis":
             from ssad_tpu.models.detector import MahalanobisDetector
 

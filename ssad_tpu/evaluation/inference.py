@@ -324,10 +324,17 @@ def attach_anomaly_scores(
     k: int = 3,
     seed: int = 0,
     scorer: str = "knn",
+    coreset: Optional[int] = None,
 ):
     """Fit the selected detector on normality and score
     `outputs.embeddings` (tools.py:351-389).  scorer: 'knn' (reference
-    detector) or 'mahalanobis' (parametric Gaussian alternative)."""
+    detector) or 'mahalanobis' (parametric Gaussian alternative).
+    coreset distills the normality rows by k-center-greedy selection
+    (ops/coreset.py) before the fit; None keeps every row."""
+    if coreset is not None:
+        from ssad_tpu.ops.coreset import coreset_select
+
+        normality = coreset_select(normality, coreset, jax.random.key(seed))
     if scorer == "mahalanobis":
         from ssad_tpu.models.detector import MahalanobisDetector
 

@@ -353,6 +353,7 @@ def export_checkpoint(
     dtype: Optional[str] = None,
     scorer: str = "knn",
     seed: int = 0,
+    coreset: Optional[int] = None,
 ) -> str:
     """Checkpoint directory → serving artifact (the `cli export` body).
 
@@ -412,6 +413,12 @@ def export_checkpoint(
                     f"{checkpoint_path} has no memory bank; pass `normality`"
                 )
             normality = np.asarray(newest_first(bank))
+    if coreset is not None:
+        from ssad_tpu.ops.coreset import coreset_select
+
+        normality = coreset_select(
+            jnp.asarray(normality), coreset, jax.random.key(seed)
+        )
     if k is None:
         from ssad_tpu.config import EvalConfig
 

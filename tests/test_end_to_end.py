@@ -112,6 +112,24 @@ class TestEvaluatePipeline:
         assert r.pixel_auroc is not None and 0.0 <= r.pixel_auroc <= 1.0
         assert np.isfinite(r.aupro) and np.isfinite(r.iou)
 
+    def test_patch_level_with_coreset_normality(self, fake_mvtec,
+                                                trained_checkpoint):
+        """EvalConfig.coreset distills the re-embedded patch normality
+        by k-center greedy before the detector fit; the evaluation
+        still produces finite metrics end-to-end."""
+        path, _ = trained_checkpoint
+        engine, bank, _ = inf.load_engine(str(path))
+        data = mvtec.prepare_pretext_data(fake_mvtec, "bottle", imsize=(64, 64))
+        test = mvtec.prepare_mvtec_test_data(fake_mvtec, "bottle", imsize=(64, 64))
+        ecfg = config.EvalConfig(
+            patch_localization=True, patch_dim=16, stride=16,
+            imsize=(64, 64), batch_size=8, upsample_size=64,
+            n_normality_images=2, coreset=12,
+        )
+        r = evaluate_category(engine, bank, data, test, ecfg, "bottle")
+        assert r.pixel_auroc is not None and 0.0 <= r.pixel_auroc <= 1.0
+        assert np.isfinite(r.aupro) and np.isfinite(r.iou)
+
     def test_patch_level_data_parallel_matches(self, fake_mvtec,
                                                trained_checkpoint, tmp_path):
         """EvalConfig.data_shards shards scoring over 4 virtual devices

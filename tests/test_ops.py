@@ -235,3 +235,77 @@ class TestShear:
         img = jnp.asarray(np.random.default_rng(0).random((32, 32, 3), np.float32))
         out = im.rotate_small_angle(img, jnp.float32(0.0), 3.0)
         np.testing.assert_array_equal(np.asarray(out), np.asarray(img))
+
+
+class TestCoreset:
+    def _oracle(self, x, k, first):
+        """Naive numpy k-center greedy on cosine geometry."""
+        xn = x / (np.linalg.norm(x, axis=1, keepdims=True) + 1e-12)
+        sel = [first]
+        min_d = np.full(x.shape[0], np.inf)
+        for _ in range(1, k):
+            d = 2.0 - 2.0 * (xn @ xn[sel[-1]])
+            min_d = np.minimum(min_d, d)
+            sel.append(int(np.argmax(min_d)))
+        return sel
+
+    def test_matches_numpy_oracle(self, rng):
+        from ssad_tpu.ops.coreset import kcenter_greedy
+
+        x = rng.normal(size=(60, 8)).astype(np.float32)
+        key = jax.random.key(7)
+        idx = np.asarray(kcenter_greedy(jnp.asarray(x), 12, key))
+        first = int(jax.random.randint(key, (), 0, 60))
+        assert idx.tolist() == self._oracle(x, 12, first)
+
+    def test_covers_better_than_random_subset(self, rng):
+        """Minimax coverage: the greedy coreset's covering radius must
+        beat a random subset of the same size on clustered data."""
+        from ssad_tpu.ops.coreset import kcenter_greedy
+
+        centers = rng.normal(size=(10, 16)).astype(np.float32) * 5
+        x = np.concatenate(
+            [c + rng.normal(size=(40, 16)).astype(np.float32) * 0.1
+             for c in centers]
+        )
+        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+
+        def radius(sel):
+            d = 2.0 - 2.0 * (xn @ xn[sel].T)
+            return d.min(axis=1).max()
+
+        greedy = np.asarray(kcenter_greedy(jnp.asarray(x), 20, jax.random.key(0)))
+        rand = rng.choice(x.shape[0], size=20, replace=False)
+        assert radius(greedy) < radius(rand)
+
+    def test_select_identity_below_k(self, rng):
+        from ssad_tpu.ops.coreset import coreset_select
+
+        x = jnp.asarray(rng.normal(size=(5, 4)).astype(np.float32))
+        out = coreset_select(x, 10)
+        np.testing.assert_array_equal(out, x)
+
+    def test_no_duplicate_selections(self, rng):
+        from ssad_tpu.ops.coreset import kcenter_greedy
+
+        x = rng.normal(size=(50, 6)).astype(np.float32)
+        idx = np.asarray(kcenter_greedy(jnp.asarray(x), 25, jax.random.key(3)))
+        assert len(set(idx.tolist())) == 25
+
+    def test_detector_fit_on_coreset(self, rng):
+        """attach_anomaly_scores(coreset=...) fits the detector on the
+        distilled rows: the bank shrinks to 70% of the coreset size and
+        scoring still works end-to-end."""
+        from ssad_tpu.constants import ModelOutputs
+        from ssad_tpu.evaluation.inference import attach_anomaly_scores
+
+        normality = jnp.asarray(rng.normal(size=(200, 32)).astype(np.float32))
+        outputs = ModelOutputs(
+            embeddings=jnp.asarray(rng.normal(size=(9, 32)).astype(np.float32))
+        )
+        outputs, det = attach_anomaly_scores(
+            outputs, normality, k=3, coreset=40
+        )
+        n_val = max(int(round(40 * 0.3)), 1)
+        assert det.bank.shape[0] == 40 - n_val
+        assert np.isfinite(np.asarray(outputs.anomaly_maps)).all()
