@@ -598,18 +598,26 @@ def cmd_score(args) -> int:
                     (2, 0): np.lib.format.read_array_header_2_0,
                 }.get(tuple(version))
                 if reader is None:
-                    shape = np.load(p).shape
+                    arr = np.load(p)
+                    shape, dtype = arr.shape, arr.dtype
                 else:
-                    shape, _, _ = reader(f)
+                    shape, _, dtype = reader(f)
             if shape != (h, w, 3):
                 raise SystemExit(
                     f"{p}: .npy must be ({h}, {w}, 3) to match the "
                     f"artifact geometry, got {shape}"
                 )
+            if dtype != np.uint8 and not np.issubdtype(dtype, np.floating):
+                raise SystemExit(
+                    f"{p}: .npy dtype must be float or uint8, got {dtype}"
+                )
 
     def load_any(p: Path) -> np.ndarray:
         if p.suffix.lower() == ".npy":
-            return np.asarray(np.load(p), np.float32)
+            # same [0,1]/uint8 contract the HTTP front end enforces
+            from ssad_tpu.serving.server import coerce_image_array
+
+            return coerce_image_array(np.load(p), (h, w))
         return load_image(p, (h, w))
 
     out_dir = Path(args.out)

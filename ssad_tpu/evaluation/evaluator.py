@@ -175,22 +175,33 @@ def _render_eval_gradcams(
     outputs_dir: str,
     subject: str,
     max_images: int = 8,
+    cam_maps: Optional[np.ndarray] = None,
 ) -> List[str]:
     """Grad-CAM heatmap overlays for test images the classifier calls
     defective (reference evaluator.py:271-284 renders a saliency map for
-    every y_hat>0 image during image-level evaluation)."""
+    every y_hat>0 image during image-level evaluation).
+
+    cam_maps: precomputed per-test-image maps (the pixel-metric block
+    already computes them for EVERY image) — passing them avoids a
+    second jitted Grad-CAM program and redundant backward passes."""
     from ssad_tpu.evaluation import visualization as vis
-    from ssad_tpu.models.gradcam import make_gradcam_fn
 
     y_hat = np.asarray(outputs.y_hat)
     picks = np.where(y_hat > 0)[0][:max_images]
     if not len(picks):
         return []
-    gradcam = make_gradcam_fn(engine.model, engine.params, engine.batch_stats)
+    gradcam = None
+    if cam_maps is None:
+        from ssad_tpu.models.gradcam import make_gradcam_fn
+
+        gradcam = make_gradcam_fn(engine.model, engine.params, engine.batch_stats)
     paths = []
     for i in picks:
-        x = jnp.asarray(outputs.tensor_data[i])[None]
-        maps = gradcam(x, y_hat[i : i + 1])
+        if cam_maps is not None:
+            maps = cam_maps[i : i + 1]
+        else:
+            x = jnp.asarray(outputs.tensor_data[i])[None]
+            maps = gradcam(x, y_hat[i : i + 1])
         raw = np.asarray(outputs.original_data[i])
         overlay = vis.heatmap_overlay(raw, np.asarray(maps[0]))
         paths.append(
@@ -332,8 +343,10 @@ def evaluate_category(
                     f"Pro curve for {subject.upper()}", f"{subject}_pro.png",
                 )
             # Grad-CAM overlay renders for predicted-defect test images
-            # (reference renders these during image-level evaluation)
-            _render_eval_gradcams(engine, outputs, outputs_dir, subject)
+            # (reference renders these during image-level evaluation) —
+            # reusing the maps the pixel-metric block just computed
+            _render_eval_gradcams(engine, outputs, outputs_dir, subject,
+                                  cam_maps=cam_maps)
     else:
         # --- patch level (evaluator.py:286-374) ---
         normality = inf.normality_embeddings(

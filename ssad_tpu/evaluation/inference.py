@@ -115,18 +115,15 @@ class InferenceEngine:
             # fused extract → embed → Mahalanobis → map: same one-program
             # structure as the k-NN path, with the bank matmul replaced
             # by one (B·P, D) × (D, D) precision matmul
+            from ssad_tpu.models.detector import mahalanobis_distances
+
             p, inv = patches_mod.extract_patches_shuffled(
                 x.astype(jnp.bfloat16), dim=dim, stride=stride
             )
             b, n = p.shape[0], p.shape[1]
             flat = p.reshape((b * n,) + p.shape[2:])
             out = patch_forward(variables, flat)
-            q = out["latent_space"].astype(jnp.float32) - mean
-            d2 = jnp.einsum(
-                "qd,de,qe->q", q, precision, q,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            scores = jnp.sqrt(jnp.maximum(d2, 0.0))
+            scores = mahalanobis_distances(out["latent_space"], mean, precision)
             side = int(round(n ** 0.5))
             maps = scores.reshape(b, n)[:, inv].reshape(b, side, side)
             if upsample_to is not None:

@@ -96,6 +96,26 @@ def normalize_embeddings(embeddings: jax.Array) -> jax.Array:
     return l2_normalize(jnp.asarray(embeddings))
 
 
+def mahalanobis_distances(queries: jax.Array, mean: jax.Array,
+                          precision: jax.Array) -> jax.Array:
+    """sqrt(max((q-μ)ᵀ P (q-μ), 0)) per query row, f32 at
+    Precision.HIGHEST.
+
+    The ONE Mahalanobis scoring formula — shared by the detector's
+    fit/threshold calibration, the fused patch-map program
+    (evaluation/inference.py) and the AOT export (serving/export.py).
+    The threshold is calibrated here at fit time, so every scorer MUST
+    compute the distance at the same matmul precision: a default-
+    precision copy would flip labels for borderline samples on TPU.
+    """
+    q = jnp.asarray(queries, jnp.float32) - mean
+    d2 = jnp.einsum(
+        "qd,de,qe->q", q, precision, q,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return jnp.sqrt(jnp.maximum(d2, 0.0))
+
+
 @dataclasses.dataclass
 class MahalanobisDetector:
     """Gaussian-density anomaly scorer: fit a single Gaussian to the
@@ -141,8 +161,7 @@ class MahalanobisDetector:
         return self
 
     def _scores(self, queries: jax.Array) -> jax.Array:
-        q = jnp.asarray(queries, jnp.float32) - self.mean
-        return jnp.sqrt(jnp.maximum(jnp.einsum("qd,de,qe->q", q, self.precision, q), 0.0))
+        return mahalanobis_distances(queries, self.mean, self.precision)
 
     def predict(self, queries: jax.Array) -> jax.Array:
         if self.precision is None:

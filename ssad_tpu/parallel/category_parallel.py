@@ -299,7 +299,8 @@ def _group_snapshot_path(resume_dir, group):
     return Path(resume_dir) / ("multi_" + "-".join(group)) / "resume_snapshot.pkl"
 
 
-def _save_group_snapshot(path, stage, epoch, state, rng, histories, best):
+def _save_group_snapshot(path, stage, epoch, state, rng, histories, best,
+                         stack=None, backbone=None):
     """Atomic epoch-granular snapshot of the FULL stacked state (params,
     BN stats, optimizer, banks, RNG, histories, best-val copies) — the
     recovery story the single-category Trainer already has
@@ -318,6 +319,12 @@ def _save_group_snapshot(path, stage, epoch, state, rng, histories, best):
         "rng": np.asarray(jax.random.key_data(rng)),
         "histories": histories,
         "best": best,
+        # compatibility fingerprint: the snapshot path is keyed by the
+        # group's subject names only, so a rerun with a different
+        # --stack or backbone would otherwise load incompatible stacked
+        # leaves and die with an opaque shape error mid-restore
+        "stack": stack,
+        "backbone": backbone,
     }
     if jax.process_index() != 0:
         return
@@ -455,6 +462,19 @@ def fit_categories(
 
                 with open(snap_path, "rb") as f:
                     resume = pickle.load(f)
+                snap_stack = resume.get("stack")
+                snap_backbone = resume.get("backbone")
+                if (snap_stack is not None and snap_stack != stack) or (
+                    snap_backbone is not None
+                    and snap_backbone != cfg.model.backbone
+                ):
+                    raise SystemExit(
+                        f"{snap_path}: snapshot was written with "
+                        f"stack={snap_stack}, backbone={snap_backbone!r} "
+                        f"but this run uses stack={stack}, "
+                        f"backbone={cfg.model.backbone!r} — rerun with "
+                        f"the original settings or delete the snapshot"
+                    )
                 histories = resume["histories"]
                 best = resume["best"]
 
@@ -562,7 +582,8 @@ def fit_categories(
                     )
                 if snap_path is not None:
                     _save_group_snapshot(
-                        snap_path, stage, epoch + 1, state, rng, histories, best
+                        snap_path, stage, epoch + 1, state, rng, histories,
+                        best, stack=stack, backbone=cfg.model.backbone,
                     )
 
         # unstack per category (multi-process: gathers every process's

@@ -112,12 +112,9 @@ def _scorer_fn(engine, bank, threshold: float, k: int, mode: str,
         precision = jnp.asarray(precision, jnp.float32)
 
         def _maha(emb):
-            q = emb.astype(jnp.float32) - mean
-            d2 = jnp.einsum(
-                "qd,de,qe->q", q, precision, q,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            return jnp.sqrt(jnp.maximum(d2, 0.0))
+            from ssad_tpu.models.detector import mahalanobis_distances
+
+            return mahalanobis_distances(emb, mean, precision)
 
     elif scorer == "knn":
         bank = jnp.asarray(bank, jnp.float32)
@@ -312,6 +309,10 @@ class ServedScorer:
             raise ValueError(
                 f"expected (B, {h}, {w}, 3) images, got {x.shape}"
             )
+        if x.shape[0] == 0:
+            # the pipelined chunk loop below needs ≥1 chunk; fail with
+            # a named error instead of an unpacking TypeError
+            raise ValueError("cannot score an empty batch (0 images)")
         # pipelined chunk loop: dispatch chunk i+1 BEFORE reading back
         # chunk i (jax dispatch is async), so host readback/convert
         # overlaps device compute on multi-chunk inputs

@@ -13,9 +13,10 @@ inference is an offline Lightning predict loop, tools.py:310-390.)
 `AnomalyHTTPServer` puts a dependency-free HTTP API in front (stdlib
 `ThreadingHTTPServer` — this image has no web framework):
 
-  POST /score    body: raw .npy (H, W, 3) float32 [0,1], or any image
-                 file PIL can decode (PNG/JPEG; resized to the model's
-                 input geometry).  → JSON {score, label, ...} for image
+  POST /score    body: raw .npy (H, W, 3) — float in [0,1] (enforced:
+                 off-scale floats are 400, not silently mis-scored) or
+                 uint8 (rescaled) — or any image file PIL can decode
+                 (PNG/JPEG; resized to the model's input geometry).  → JSON {score, label, ...} for image
                  mode; {map_max, map_mean, heatmap_b64?} for patch mode
                  (`?heatmap=1` adds the base64 PNG heatmap).
   GET  /healthz  → {"ok": true}
@@ -216,15 +217,39 @@ def _decode_image(body: bytes, imsize: Tuple[int, int]) -> np.ndarray:
     """
     if body[:6] == b"\x93NUMPY":
         arr = np.load(io.BytesIO(body))
-        if arr.shape != (imsize[0], imsize[1], 3):
-            raise ValueError(
-                f"npy body must be ({imsize[0]}, {imsize[1]}, 3) to match "
-                f"the model geometry, got {arr.shape}"
-            )
-        return np.asarray(arr, dtype=np.float32)
+        return coerce_image_array(arr, imsize)
     from ssad_tpu.data.mvtec import load_image
 
     return load_image(io.BytesIO(body), imsize)
+
+
+def coerce_image_array(arr: np.ndarray, imsize: Tuple[int, int]) -> np.ndarray:
+    """Validate/convert a raw array to the model's (H, W, 3) float32
+    [0,1] contract.  uint8 is rescaled (the unambiguous intent); float
+    inputs outside [0,1] are REJECTED rather than scored — a 255-scale
+    float image would silently produce garbage scores against a
+    threshold calibrated on [0,1] data.  Shared by the HTTP front end
+    and `cli score` so both surfaces enforce the same contract."""
+    if arr.shape != (imsize[0], imsize[1], 3):
+        raise ValueError(
+            f"npy body must be ({imsize[0]}, {imsize[1]}, 3) to match "
+            f"the model geometry, got {arr.shape}"
+        )
+    if arr.dtype == np.uint8:
+        return arr.astype(np.float32) / 255.0
+    if not np.issubdtype(arr.dtype, np.floating):
+        raise ValueError(
+            f"npy dtype must be float or uint8, got {arr.dtype}"
+        )
+    arr = arr.astype(np.float32)
+    lo, hi = float(arr.min()) if arr.size else 0.0, float(arr.max()) if arr.size else 0.0
+    if lo < -1e-3 or hi > 1.0 + 1e-3:
+        raise ValueError(
+            f"float npy values must be in [0, 1] (got range "
+            f"[{lo:.3g}, {hi:.3g}]); scale before posting — scoring an "
+            f"off-scale image would silently mis-threshold"
+        )
+    return arr
 
 
 def heatmap_to_uint8(amap: np.ndarray) -> np.ndarray:
@@ -339,6 +364,10 @@ class AnomalyHTTPServer:
                 self.send_response(code)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(body)))
+                if self.close_connection:
+                    # tell the client too (sending the header also keeps
+                    # close_connection set through end_headers)
+                    self.send_header("Connection", "close")
                 self.end_headers()
                 self.wfile.write(body)
 
@@ -381,6 +410,17 @@ class AnomalyHTTPServer:
 
             def do_POST(self):
                 path, _, query = self.path.partition("?")
+                # body framing is Content-Length only; a chunked body
+                # cannot be drained by the read below, and under
+                # keep-alive its unread bytes would desync the socket
+                # (parsed as the next request line).  Reject AND close.
+                if "chunked" in (self.headers.get("Transfer-Encoding") or "").lower():
+                    self.close_connection = True
+                    self._json(411, {
+                        "error": "chunked bodies are not supported; send "
+                                 "Content-Length",
+                    })
+                    return
                 # drain the body BEFORE any (error) response: replying
                 # with an unread request body breaks the connection
                 # (the client sees a reset instead of the status)
@@ -430,7 +470,9 @@ class AnomalyHTTPServer:
                             "map_mean": float(amap.mean()),
                             "ms": round(ms, 3),
                         }
-                        if "heatmap=1" in query:
+                        from urllib.parse import parse_qs
+
+                        if parse_qs(query).get("heatmap", ["0"])[0] == "1":
                             payload["heatmap_b64"] = _heatmap_png_b64(amap)
                     else:
                         score, label = result[0], result[1]

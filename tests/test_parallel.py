@@ -202,6 +202,30 @@ class TestFitCategoriesTrainingParity:
         )
         assert resumed.best_val_loss == pytest.approx(base.best_val_loss, abs=1e-6)
 
+    def test_resume_snapshot_mismatch_fails_loud(self, fake_mvtec, tmp_path):
+        """The snapshot path is keyed by subject names only; a rerun
+        with a different --stack/backbone must get a clear error, not
+        an opaque shape failure from restoring incompatible stacked
+        leaves."""
+        import pickle
+
+        from ssad_tpu.data import mvtec
+        from ssad_tpu.parallel import category_parallel as cp
+
+        cfg = self._cfg()
+        mesh = mesh_mod.make_mesh(n_model=1)
+        datas = [mvtec.prepare_pretext_data(fake_mvtec, "bottle", imsize=(64, 64))]
+        resume_dir = tmp_path / "resume"
+        snap = cp._group_snapshot_path(str(resume_dir), ["bottle"])
+        snap.parent.mkdir(parents=True)
+        snap.write_bytes(pickle.dumps({
+            "stage": "fine_tune", "epoch": 1, "state": None, "rng": None,
+            "histories": {}, "best": {}, "stack": 4, "backbone": "resnet18",
+        }))
+        with pytest.raises(SystemExit, match="stack=4"):
+            cp.fit_categories(cfg, ["bottle"], datas, mesh, verbose=False,
+                              resume_dir=str(resume_dir))
+
 
 @pytest.mark.slow
 class TestStackedSingleEquivalence:

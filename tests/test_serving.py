@@ -476,6 +476,11 @@ class TestExportRoundtrip:
         np.testing.assert_allclose(scores, ref, rtol=1e-5, atol=1e-6)
         np.testing.assert_array_equal(labels, (ref > 0.5).astype(np.int32))
 
+        # a zero-row batch fails with a named error, not an unpacking
+        # TypeError from the pipelined chunk loop
+        with pytest.raises(ValueError, match="empty batch"):
+            scorer(np.zeros((0, 64, 64, 3), np.float32))
+
     def test_patch_mode_matches_live_engine(self, tiny_engine, tmp_path):
         import jax
         import jax.numpy as jnp
@@ -1059,3 +1064,71 @@ class TestCliScore:
         with pytest.raises(SystemExit, match="must be"):
             main(["score", "--artifact", art, str(bad),
                   "--out", str(tmp_path / "o")])
+
+
+class TestImageContract:
+    """The [0,1] float32 input contract is enforced, not assumed."""
+
+    def test_uint8_npy_is_rescaled(self, image_server):
+        buf = io.BytesIO()
+        np.save(buf, np.full((8, 8, 3), 255, np.uint8))
+        out = _post(image_server.port, "/score", buf.getvalue())
+        # _sum_scorer sums the rescaled [0,1] image: 255→1.0 per texel
+        assert out["score"] == pytest.approx(8 * 8 * 3)
+
+    def test_out_of_range_float_is_400(self, image_server):
+        buf = io.BytesIO()
+        np.save(buf, np.full((8, 8, 3), 255.0, np.float32))
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _post(image_server.port, "/score", buf.getvalue())
+        assert exc.value.code == 400
+        assert "scale" in exc.value.read().decode()
+
+    def test_integer_npy_other_than_uint8_is_400(self, image_server):
+        buf = io.BytesIO()
+        np.save(buf, np.zeros((8, 8, 3), np.int32))
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _post(image_server.port, "/score", buf.getvalue())
+        assert exc.value.code == 400
+
+    def test_chunked_body_is_rejected_and_connection_closed(self, image_server):
+        """Content-Length-only framing: a chunked body cannot be
+        drained, and under keep-alive its bytes would desync the
+        socket — reject with 411 and close."""
+        import http.client
+
+        conn = http.client.HTTPConnection("127.0.0.1", image_server.port,
+                                          timeout=30)
+        conn.putrequest("POST", "/score")
+        conn.putheader("Transfer-Encoding", "chunked")
+        conn.endheaders()
+        conn.send(b"5\r\nhello\r\n0\r\n\r\n")
+        resp = conn.getresponse()
+        body = resp.read()
+        assert resp.status == 411
+        assert b"chunked" in body
+        assert resp.will_close
+        conn.close()
+
+    def test_heatmap_query_is_parsed_not_substring_matched(self):
+        from ssad_tpu.serving.server import AnomalyHTTPServer, BatchingScorer
+
+        def map_scorer(x):
+            return (x.mean(axis=-1),)
+
+        sc = BatchingScorer(map_scorer, batch=2, max_delay_ms=5.0)
+        srv = AnomalyHTTPServer(sc, {"mode": "patch", "imsize": [8, 8]},
+                                port=0).start()
+        try:
+            buf = io.BytesIO()
+            np.save(buf, np.random.default_rng(0).uniform(
+                size=(8, 8, 3)).astype(np.float32))
+            body = buf.getvalue()
+            # "no_heatmap=1" contains the substring "heatmap=1" but
+            # must NOT trigger the expensive PNG encode
+            out = _post(srv.port, "/score?no_heatmap=1", body)
+            assert "heatmap_b64" not in out
+            out = _post(srv.port, "/score?heatmap=1", body)
+            assert "heatmap_b64" in out
+        finally:
+            srv.stop()
