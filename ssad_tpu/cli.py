@@ -105,8 +105,18 @@ def cmd_train(args) -> int:
         {k: v for k, v in result.history.items() if k.startswith("fine_tune")},
         out, mode="fine_tune",
     )
+    _write_history_json(out, result.history)
     print(f"checkpoint: {path}")
     return 0
+
+
+def _write_history_json(out_dir, history) -> None:
+    """Numeric twin of the history plots: per-epoch loss/accuracy as
+    plain JSON, so runs can be compared/regressed without parsing PNGs."""
+    payload = {k: [float(x) for x in v] for k, v in history.items()}
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    (out_dir / "history.json").write_text(json.dumps(payload, indent=1))
 
 
 def cmd_sweep(args) -> int:
@@ -183,6 +193,7 @@ def cmd_train_multi(args) -> int:
             {k: v for k, v in r.history.items() if k.startswith("fine_tune")},
             out, mode="fine_tune",
         )
+        _write_history_json(out, r.history)
         print(f"{subject}: {path}")
     return 0
 

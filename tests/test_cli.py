@@ -123,6 +123,9 @@ class TestTrainMultiCheckpointConfig:
         ])
         assert rc == 0
         assert saved == {"bottle": "bottle", "carpet": "carpet"}
+        # numeric history twin of the plots, one per category
+        for s in ("bottle", "carpet"):
+            assert json.loads((tmp_path / s / "history.json").read_text()) == {}
 
 
 class TestProfileCommand:
