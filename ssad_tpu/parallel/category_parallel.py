@@ -16,7 +16,7 @@ math to train/trainer.py's single-category step.
 from __future__ import annotations
 
 import functools
-from typing import Any, NamedTuple, Tuple
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -171,8 +171,6 @@ def generate_parity_dataset(
 def _train_subject(
     cfg: TrainConfig, subject: str, models_dir: Path, verbose: bool
 ) -> None:
-    import jax
-
     from ssad_tpu.data import mvtec
     from ssad_tpu.train import checkpoint as ckpt
     from ssad_tpu.train.trainer import Trainer

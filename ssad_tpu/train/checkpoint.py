@@ -9,7 +9,6 @@ TrainConfig JSON, restorable without constructing the model first.
 
 from __future__ import annotations
 
-import json
 from pathlib import Path
 from typing import Any, Dict, Optional
 
