@@ -1132,3 +1132,35 @@ class TestImageContract:
             assert "heatmap_b64" in out
         finally:
             srv.stop()
+
+
+class TestHTTPFuzz:
+    def test_garbage_bodies_never_crash_the_server(self, image_server):
+        """Seeded fuzz: random byte soup, truncated npy headers, wrong
+        pickles — every request must come back as a JSON 4xx (never a
+        5xx, a hang, or a dropped server), and real requests must still
+        work afterwards."""
+        rng = np.random.default_rng(0)
+        bodies = [
+            b"",
+            b"\x00" * 64,
+            rng.bytes(512),
+            b"\x93NUMPY" + rng.bytes(64),          # truncated/corrupt npy
+            b"\x93NUMPY\x01\x00" + b"\xff" * 32,   # bad header length
+            "{'json': 'not an image'}".encode(),
+            b"GIF89a" + rng.bytes(32),             # wrong image format
+        ]
+        for body in bodies:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{image_server.port}/score",
+                data=body, method="POST",
+            )
+            with pytest.raises(urllib.error.HTTPError) as exc:
+                urllib.request.urlopen(req, timeout=30)
+            assert 400 <= exc.value.code < 500, body[:16]
+            assert "error" in json.loads(exc.value.read().decode())
+        # the server survived and still scores
+        buf = io.BytesIO()
+        np.save(buf, np.ones((8, 8, 3), np.float32))
+        out = _post(image_server.port, "/score", buf.getvalue())
+        assert out["score"] == pytest.approx(8 * 8 * 3)
