@@ -1164,3 +1164,42 @@ class TestHTTPFuzz:
         np.save(buf, np.ones((8, 8, 3), np.float32))
         out = _post(image_server.port, "/score", buf.getvalue())
         assert out["score"] == pytest.approx(8 * 8 * 3)
+
+
+@pytest.mark.slow
+class TestPatchArtifactServed:
+    def test_patch_artifact_over_http(self, tiny_checkpoint, fake_mvtec,
+                                      tmp_path):
+        """A REAL patch-mode artifact (re-embedded normality, fused
+        extract→embed→kNN→blur→upsample program) served over the full
+        HTTP stack: finite map stats + a decodable heatmap PNG."""
+        import base64
+
+        from PIL import Image
+
+        from ssad_tpu.serving.export import export_checkpoint, load_scorer
+        from ssad_tpu.serving.server import AnomalyHTTPServer, BatchingScorer
+
+        art = export_checkpoint(
+            str(tiny_checkpoint / "bottle" / "best_model"),
+            str(tmp_path / "p.ssadexp"), mode="patch", batch=2,
+            patch_dim=16, stride=16, dataset_dir=str(fake_mvtec),
+            n_normality_images=2,
+        )
+        scorer = load_scorer(art)
+        srv = AnomalyHTTPServer(
+            BatchingScorer(scorer, batch=scorer.batch, max_delay_ms=5.0),
+            scorer.meta, port=0,
+        ).start()
+        try:
+            img = np.random.default_rng(9).uniform(
+                size=(64, 64, 3)).astype(np.float32)
+            buf = io.BytesIO()
+            np.save(buf, img)
+            out = _post(srv.port, "/score?heatmap=1", buf.getvalue())
+            assert np.isfinite(out["map_max"]) and np.isfinite(out["map_mean"])
+            assert out["map_max"] >= out["map_mean"]
+            hm = Image.open(io.BytesIO(base64.b64decode(out["heatmap_b64"])))
+            assert hm.size == (64, 64)  # upsampled to the input geometry
+        finally:
+            srv.stop()
