@@ -551,7 +551,7 @@ def cmd_serve_bench(args) -> int:
         report = loadgen.run_load(
             host, port, body, path=path,
             concurrency=args.concurrency, total=args.requests,
-            timeout=args.score_timeout + 30.0,
+            timeout=args.score_timeout + 30.0, rate=args.rate,
         )
         report["target"] = f"http://{host}:{port}{path}"
         report["server_stats"] = loadgen.fetch_stats(host, port)
@@ -1019,6 +1019,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="closed-loop workers, each keeping one request "
                          "in flight")
     sb.add_argument("--requests", type=int, default=200)
+    sb.add_argument("--rate", type=float, default=None,
+                    help="open-loop mode: offer this many requests/sec "
+                         "on a fixed schedule and measure latency from "
+                         "the SCHEDULED arrival (no coordinated "
+                         "omission) — the SLO question. Default: "
+                         "closed-loop (the capacity question)")
     sb.add_argument("--warmup", type=int, default=16,
                     help="uncounted warmup requests before timing; 0 skips")
     sb.add_argument("--imsize", type=int, default=256,

@@ -56,10 +56,23 @@ def run_load(
     concurrency: int = 4,
     total: int = 100,
     timeout: float = 120.0,
+    rate: Optional[float] = None,
 ) -> Dict:
-    """Fire `total` POSTs at `path` from `concurrency` closed-loop
-    workers; returns {"ok", "shed", "errors", "codes", "wall_s", "qps",
-    "latency_ms": {mean, p50, p95, p99, max}}.
+    """Fire `total` POSTs at `path`; returns {"ok", "shed", "errors",
+    "codes", "wall_s", "qps", "latency_ms": {mean, p50, p95, p99, max}}.
+
+    Two modes:
+    * closed-loop (rate=None): each worker keeps one request in
+      flight — measured qps IS the stack's capacity at that
+      concurrency (the capacity question).
+    * open-loop (rate=R requests/sec): request i is SCHEDULED at
+      t0 + i/R regardless of how the server is doing, and its latency
+      is measured from the scheduled arrival — so a stalled server
+      accrues queueing delay instead of silently slowing the offered
+      load (the coordinated-omission trap).  This answers the SLO
+      question: "at R qps offered, what latency do clients see?"
+      `concurrency` caps in-flight requests; if the schedule outruns
+      the workers, the backlog shows up as latency, as it should.
 
     "shed" counts HTTP 503 (the batcher's admission bound doing its
     job); "errors" is every other non-200 plus transport failures.
@@ -71,13 +84,14 @@ def run_load(
     latencies: List[float] = []
     codes: Dict[str, int] = {}
     headers = {"Content-Type": "application/octet-stream"}
+    start = time.perf_counter() + 0.02
 
-    def take() -> bool:
+    def take() -> Optional[int]:
         with lock:
             if next_i[0] >= total:
-                return False
+                return None
             next_i[0] += 1
-            return True
+            return next_i[0] - 1
 
     def record(code: str, dt_ms: Optional[float]) -> None:
         with lock:
@@ -87,8 +101,14 @@ def run_load(
 
     def worker() -> None:
         conn = http.client.HTTPConnection(host, port, timeout=timeout)
-        while take():
-            t0 = time.perf_counter()
+        while (i := take()) is not None:
+            if rate:
+                t0 = start + i / rate
+                delay = t0 - time.perf_counter()
+                if delay > 0:
+                    time.sleep(delay)
+            else:
+                t0 = time.perf_counter()
             try:
                 conn.request("POST", path, body=body, headers=headers)
                 resp = conn.getresponse()
@@ -126,6 +146,7 @@ def run_load(
     return {
         "requests": total,
         "concurrency": concurrency,
+        "offered_rate": rate,
         "ok": ok,
         "shed": shed,
         "errors": errors,

@@ -1203,3 +1203,49 @@ class TestPatchArtifactServed:
             assert hm.size == (64, 64)  # upsampled to the input geometry
         finally:
             srv.stop()
+
+
+class TestOpenLoop:
+    def test_rate_paces_the_offered_load(self, image_server):
+        """Open-loop: 30 requests at 100/s must take ≥ ~0.3 s of wall
+        clock even though the stub server could absorb them instantly —
+        the schedule, not the service rate, sets the pace."""
+        from ssad_tpu.serving.loadgen import npy_body, run_load
+
+        report = run_load(
+            "127.0.0.1", image_server.port, npy_body((8, 8)),
+            concurrency=4, total=30, rate=100.0,
+        )
+        assert report["ok"] == 30
+        assert report["offered_rate"] == 100.0
+        assert report["wall_s"] >= 0.28
+
+    def test_slow_server_accrues_queueing_latency(self):
+        """Coordinated-omission check: with service time ~40 ms and
+        offered rate 100/s (period 10 ms), scheduled arrivals back up —
+        measured p95 must far exceed one service time because latency
+        counts from the SCHEDULE, not from when a worker got free."""
+        import time as _time
+
+        from ssad_tpu.serving.loadgen import npy_body, run_load
+        from ssad_tpu.serving.server import AnomalyHTTPServer, BatchingScorer
+
+        def slow(x):
+            _time.sleep(0.04)
+            return (x.reshape(x.shape[0], -1).sum(axis=1),
+                    np.zeros(x.shape[0], np.int32))
+
+        sc = BatchingScorer(slow, batch=1, max_delay_ms=0.1)
+        srv = AnomalyHTTPServer(sc, {"mode": "image", "imsize": [8, 8]},
+                                port=0).start()
+        try:
+            report = run_load(
+                "127.0.0.1", srv.port, npy_body((8, 8)),
+                concurrency=1, total=15, rate=100.0,
+            )
+            assert report["ok"] == 15
+            # 15 requests offered over 0.15 s into a ~0.6 s server:
+            # the last ones queue ~0.45 s behind schedule
+            assert report["latency_ms"]["p95"] > 200.0
+        finally:
+            srv.stop()
