@@ -122,6 +122,13 @@ def _write_history_json(out_dir, history) -> None:
 def cmd_sweep(args) -> int:
     subjects = _subjects(args)
     for subject in subjects:
+        if getattr(args, "skip_existing", False) and (
+            Path(args.outputs_dir) / subject / "best_model"
+        ).exists():
+            # restartable sweeps: a crash at category 12/15 must not
+            # re-train the finished 11 (each is hours on real data)
+            print(f"=== {subject}: checkpoint exists, skipping ===")
+            continue
         args.subject = subject
         print(f"=== training {subject} ===")
         cmd_train(args)
@@ -840,6 +847,9 @@ def build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("sweep", help="train several categories")
     common(s)
     s.add_argument("--subjects", default="all")
+    s.add_argument("--skip-existing", action="store_true",
+                   help="skip subjects whose best_model checkpoint "
+                        "already exists (restartable sweeps)")
     s.add_argument("--projection-epochs", type=int, default=10)
     s.add_argument("--projection-lr", type=float, default=0.03)
     s.add_argument("--fine-tune-epochs", type=int, default=30)

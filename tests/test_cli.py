@@ -155,3 +155,25 @@ class TestProfileCommand:
         summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert summary["steps"] == 2 and summary["mean_ms"] > 0
         assert any((tmp_path / "ptrace").rglob("*"))
+
+
+class TestSweepSkipExisting:
+    def test_existing_checkpoints_are_skipped(self, fake_mvtec, tmp_path,
+                                              monkeypatch, capsys):
+        """--skip-existing makes sweeps restartable: a crash at category
+        k must not re-train the finished k-1 on restart."""
+        import ssad_tpu.cli as cli
+
+        (tmp_path / "bottle" / "best_model").mkdir(parents=True)
+        trained = []
+        monkeypatch.setattr(
+            cli, "cmd_train", lambda a: trained.append(a.subject) or 0
+        )
+        rc = main([
+            "sweep", "--dataset-dir", str(fake_mvtec),
+            "--outputs-dir", str(tmp_path),
+            "--subjects", "bottle,carpet", "--skip-existing",
+        ])
+        assert rc == 0
+        assert trained == ["carpet"]
+        assert "bottle: checkpoint exists" in capsys.readouterr().out
