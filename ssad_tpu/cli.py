@@ -699,6 +699,81 @@ def cmd_score(args) -> int:
     return 0
 
 
+def cmd_evaluate_artifact(args) -> int:
+    """Accuracy of a deployed AOT artifact on labeled MVTec data — the
+    deployment-validation step quantized (int8/bf16) artifacts need
+    before going live: the EXPORTED program (not the live engine) is
+    what gets measured, baked threshold included.  Prints one JSON
+    line: image AUROC/F1 (image mode) or pixel AUROC/IoU/AUPRO (patch
+    mode)."""
+    import numpy as np
+
+    from ssad_tpu.data import mvtec
+    from ssad_tpu.evaluation import metrics as M
+    from ssad_tpu.serving.export import load_scorer
+
+    _serving_compile_cache()
+    scorer = load_scorer(args.artifact)
+    meta = scorer.meta
+    subject = args.subject or meta.get("subject")
+    if not subject:
+        raise SystemExit(
+            f"{args.artifact} has no subject in its header; pass --subject"
+        )
+    h, w = meta["imsize"]
+    test = mvtec.prepare_mvtec_test_data(args.dataset_dir, subject, imsize=(h, w))
+    labels = test.labels > 0
+    out = {
+        "artifact": str(args.artifact),
+        "subject": subject,
+        "mode": meta.get("mode"),
+        "dtype": meta.get("dtype"),
+        "scorer": meta.get("scorer", "knn"),
+        "n_test": int(labels.shape[0]),
+    }
+    chunks = []
+    for lo in range(0, test.images.shape[0], args.chunk):
+        chunks.append(scorer(test.images[lo : lo + args.chunk]))
+    results = tuple(np.concatenate(parts) for parts in zip(*chunks))
+    if meta.get("mode") == "image":
+        scores, served_labels = results[0], results[1]
+        fpr, tpr, _ = M.roc_curve(labels, scores)
+        thr_opt = M.optimal_f1_threshold(labels, scores)
+        out.update({
+            "image_auroc": round(float(M.auc(fpr, tpr)), 4),
+            "f1_optimal": round(float(M.f1_score(labels, scores, thr_opt)), 4),
+            # the number production actually sees: verdicts from the
+            # threshold calibrated at export time
+            "baked_threshold": meta.get("threshold"),
+            "f1_at_baked_threshold": round(float(M.f1_score(
+                labels, scores, float(meta["threshold"])
+            )), 4),
+            "served_anomaly_rate": round(float(np.mean(served_labels)), 4),
+        })
+    else:
+        maps = results[0]  # (N, H, W), upsampled by the program
+        gts = np.asarray(test.ground_truths)
+        flat_gt = gts.ravel() > 0
+        flat_scores = np.nan_to_num(maps.ravel())
+        if flat_gt.any() and not flat_gt.all():
+            fpr, tpr, _ = M.roc_curve(flat_gt, flat_scores)
+            thr = M.optimal_f1_threshold(flat_gt, flat_scores)
+            fprs, pros = M.compute_pro(maps, gts)
+            out.update({
+                "pixel_auroc": round(float(M.auc(fpr, tpr)), 4),
+                "iou": round(float(M.iou_score(
+                    gts.ravel(), flat_scores, thr
+                )), 4),
+                "aupro": round(float(M.compute_aupro(
+                    fprs, pros, args.aupro_fpr_limit
+                )), 4),
+            })
+        else:
+            out["error"] = "test set has no (or only) defective pixels"
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_profile(args) -> int:
     """Capture a jax.profiler device trace of a hot program — the fused
     train step (--what train) or the fused patch-scoring program
@@ -1048,6 +1123,21 @@ def build_parser() -> argparse.ArgumentParser:
     sb.add_argument("--seed", type=int, default=0)
     sb.add_argument("--platform", default=None, choices=["cpu", "tpu", "gpu"])
     sb.set_defaults(fn=cmd_serve_bench)
+
+    ea = sub.add_parser(
+        "evaluate-artifact",
+        help="accuracy of a deployed AOT artifact on labeled MVTec data "
+             "(validate quantized exports before going live)",
+    )
+    ea.add_argument("--artifact", required=True)
+    ea.add_argument("--dataset-dir", required=True)
+    ea.add_argument("--subject", default=None,
+                    help="default: the artifact header's subject")
+    ea.add_argument("--chunk", type=int, default=32,
+                    help="test images scored per call")
+    ea.add_argument("--aupro-fpr-limit", type=float, default=0.3)
+    ea.add_argument("--platform", default=None, choices=["cpu", "tpu", "gpu"])
+    ea.set_defaults(fn=cmd_evaluate_artifact)
 
     sc = sub.add_parser(
         "score",

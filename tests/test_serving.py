@@ -1249,3 +1249,53 @@ class TestOpenLoop:
             assert report["latency_ms"]["p95"] > 200.0
         finally:
             srv.stop()
+
+
+@pytest.mark.slow
+class TestEvaluateArtifact:
+    def test_image_artifact_metrics(self, tiny_checkpoint, fake_mvtec,
+                                    tmp_path, capsys):
+        """evaluate-artifact measures the EXPORTED program on labeled
+        data: AUROC/F1 plus F1 at the baked threshold — the
+        deployment-validation step for quantized artifacts."""
+        from ssad_tpu.cli import main
+        from ssad_tpu.serving.export import export_checkpoint
+
+        art = export_checkpoint(
+            str(tiny_checkpoint / "bottle" / "best_model"),
+            str(tmp_path / "img.ssadexp"), mode="image", batch=2,
+        )
+        rc = main([
+            "evaluate-artifact", "--artifact", art,
+            "--dataset-dir", str(fake_mvtec), "--chunk", "2",
+        ])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["subject"] == "bottle" and out["mode"] == "image"
+        assert 0.0 <= out["image_auroc"] <= 1.0
+        assert 0.0 <= out["f1_at_baked_threshold"] <= 1.0
+        assert out["baked_threshold"] == pytest.approx(
+            json.loads(json.dumps(out["baked_threshold"]))
+        )
+        assert out["n_test"] >= 2
+
+    def test_patch_artifact_metrics(self, tiny_checkpoint, fake_mvtec,
+                                    tmp_path, capsys):
+        from ssad_tpu.cli import main
+        from ssad_tpu.serving.export import export_checkpoint
+
+        art = export_checkpoint(
+            str(tiny_checkpoint / "bottle" / "best_model"),
+            str(tmp_path / "p.ssadexp"), mode="patch", batch=2,
+            patch_dim=16, stride=16, dataset_dir=str(fake_mvtec),
+            n_normality_images=2,
+        )
+        rc = main([
+            "evaluate-artifact", "--artifact", art,
+            "--dataset-dir", str(fake_mvtec), "--chunk", "2",
+        ])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["mode"] == "patch"
+        assert 0.0 <= out["pixel_auroc"] <= 1.0
+        assert np.isfinite(out["aupro"]) and np.isfinite(out["iou"])
