@@ -418,8 +418,47 @@ def cmd_export(args) -> int:
         dtype=args.dtype, scorer=args.scorer, seed=args.seed,
         coreset=args.coreset,
     )
+    validation = None
+    if getattr(args, "validate", False):
+        import numpy as np
+
+        from ssad_tpu.serving.export import load_scorer
+
+        scorer = load_scorer(path)
+        h, w = scorer.meta["imsize"]
+        rng = np.random.default_rng(args.seed)
+        x = rng.uniform(size=(args.batch, h, w, 3)).astype(np.float32)
+        res = tuple(np.asarray(r) for r in scorer(x))
+        validation = {
+            "finite": bool(all(np.isfinite(r).all() for r in res)),
+        }
+        if args.dtype:
+            # quantized export: drift vs a float export of the SAME
+            # config (same normality fit, same threshold calibration)
+            ref_path = export_checkpoint(
+                ckpt, str(Path(out).with_suffix(".float_ref.ssadexp")),
+                mode=args.mode, batch=args.batch,
+                imsize=(args.imsize, args.imsize) if args.imsize else None,
+                k=args.knn_k, platform=args.export_platform,
+                patch_dim=args.patch_dim, stride=args.stride,
+                dataset_dir=args.dataset_dir,
+                n_normality_images=args.n_normality_images,
+                dtype=None, scorer=args.scorer, seed=args.seed,
+                coreset=args.coreset,
+            )
+            ref = tuple(np.asarray(r) for r in load_scorer(ref_path)(x))
+            validation["max_abs_score_drift"] = float(
+                np.max(np.abs(res[0].astype(np.float64) - ref[0]))
+            )
+            if args.mode == "image":
+                validation["label_agreement"] = float(
+                    np.mean(res[1] == ref[1])
+                )
+            Path(ref_path).unlink()
+
     print(json.dumps({
         "artifact": path,
+        "validation": validation,
         "mode": args.mode,
         "bytes": Path(path).stat().st_size,
     }))
@@ -1063,6 +1102,12 @@ def build_parser() -> argparse.ArgumentParser:
     ex.add_argument("--export-platform", default=None,
                     choices=["cpu", "tpu", "gpu"],
                     help="lowering target (default: the active backend)")
+    ex.add_argument("--validate", action="store_true",
+                    help="post-export self-check: run the artifact on "
+                         "seeded random inputs (finiteness); with "
+                         "--dtype, also export a float twin of the same "
+                         "config and report max score drift + label "
+                         "agreement")
     ex.add_argument("--platform", default=None, choices=["cpu", "tpu", "gpu"])
     ex.add_argument("--seed", type=int, default=0)
     ex.set_defaults(fn=cmd_export)

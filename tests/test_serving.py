@@ -1299,3 +1299,27 @@ class TestEvaluateArtifact:
         assert out["mode"] == "patch"
         assert 0.0 <= out["pixel_auroc"] <= 1.0
         assert np.isfinite(out["aupro"]) and np.isfinite(out["iou"])
+
+
+@pytest.mark.slow
+class TestExportValidate:
+    def test_quantized_export_reports_drift(self, tiny_checkpoint, tmp_path,
+                                            capsys):
+        """--validate on a --dtype export: a float twin of the same
+        config is exported, drift + label agreement reported, and the
+        twin cleaned up."""
+        from ssad_tpu.cli import main
+
+        out = tmp_path / "b_int8.ssadexp"
+        rc = main([
+            "export", "--models-dir", str(tiny_checkpoint),
+            "--subject", "bottle", "--mode", "image", "--batch", "2",
+            "--dtype", "int8", "--out", str(out), "--validate",
+        ])
+        assert rc == 0
+        summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        v = summary["validation"]
+        assert v["finite"] is True
+        assert v["max_abs_score_drift"] < 0.05
+        assert v["label_agreement"] == 1.0
+        assert not out.with_suffix(".float_ref.ssadexp").exists()
