@@ -19,7 +19,9 @@ inference is an offline Lightning predict loop, tools.py:310-390.)
                  (PNG/JPEG; resized to the model's input geometry).  → JSON {score, label, ...} for image
                  mode; {map_max, map_mean, heatmap_b64?} for patch mode
                  (`?heatmap=1` adds the base64 PNG heatmap).
-  GET  /healthz  → {"ok": true}
+  GET  /healthz  → {"ok": true} (liveness: the process is up)
+  GET  /readyz   → {"ready": true} or 503 (readiness: a zero image
+                 actually scores through every batcher)
   GET  /stats    → batcher latency/occupancy counters (JSON, for humans)
   GET  /metrics  → the same counters in Prometheus exposition format
                  (for scrapers).
@@ -336,6 +338,7 @@ class AnomalyHTTPServer:
         port: int = 0,
         score_timeout: float = 60.0,
         models: Optional[dict] = None,
+        ready_timeout: float = 10.0,
     ):
         if models is None:
             if scorer is None or meta is None:
@@ -347,6 +350,7 @@ class AnomalyHTTPServer:
         self.scorer = scorer
         self.meta = meta
         self.score_timeout = float(score_timeout)
+        self.ready_timeout = float(ready_timeout)
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -388,6 +392,24 @@ class AnomalyHTTPServer:
                     # are gauges.
                     self._text(200, _prometheus_metrics(outer.models),
                                "text/plain; version=0.0.4")
+                elif self.path.partition("?")[0] == "/readyz":
+                    # READINESS (vs /healthz liveness): actually score a
+                    # zero image through every batcher — a dead
+                    # collector thread, broken program, or saturated
+                    # queue turns the probe 503 so the load balancer
+                    # stops routing here.  Bounded by a short timeout.
+                    failures = {}
+                    for name, (sc, m) in outer.models.items():
+                        try:
+                            h, w = m["imsize"]
+                            sc.score(np.zeros((h, w, 3), np.float32),
+                                     timeout=outer.ready_timeout)
+                        except Exception as e:
+                            failures[name] = repr(e)
+                    if failures:
+                        self._json(503, {"ready": False, "failures": failures})
+                    else:
+                        self._json(200, {"ready": True})
                 elif self.path == "/healthz":
                     if len(outer.models) > 1:
                         payload = {"ok": True, "models": {

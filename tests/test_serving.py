@@ -1323,3 +1323,27 @@ class TestExportValidate:
         assert v["max_abs_score_drift"] < 0.05
         assert v["label_agreement"] == 1.0
         assert not out.with_suffix(".float_ref.ssadexp").exists()
+
+
+class TestReadyz:
+    def test_ready_when_scoring_works(self, image_server):
+        assert _get(image_server.port, "/readyz") == {"ready": True}
+
+    def test_503_when_backend_is_broken(self):
+        from ssad_tpu.serving.server import AnomalyHTTPServer, BatchingScorer
+
+        def broken(x):
+            raise RuntimeError("backend gone")
+
+        sc = BatchingScorer(broken, batch=1, max_delay_ms=0.1)
+        srv = AnomalyHTTPServer(sc, {"mode": "image", "imsize": [8, 8]},
+                                port=0, ready_timeout=5.0).start()
+        try:
+            with pytest.raises(urllib.error.HTTPError) as exc:
+                _get(srv.port, "/readyz")
+            assert exc.value.code == 503
+            body = json.loads(exc.value.read().decode())
+            assert body["ready"] is False
+            assert "backend gone" in str(body["failures"])
+        finally:
+            srv.stop()
