@@ -813,6 +813,81 @@ def cmd_evaluate_artifact(args) -> int:
     return 0
 
 
+def cmd_doctor(args) -> int:
+    """Environment self-check, printed as one JSON line.
+
+    The backend probe runs in a SUBPROCESS with a timeout because the
+    failure mode it exists to catch — a dead remote-TPU tunnel — makes
+    `jax.devices()` hang indefinitely, which would otherwise hang the
+    doctor itself.  Also checks compile-cache writability and the
+    native C++ loader build."""
+    import os
+    import subprocess
+    import sys
+
+    report = {"python": sys.version.split()[0]}
+    try:
+        import jax
+
+        report["jax"] = jax.__version__
+    except Exception as e:  # pragma: no cover - jax is baked in
+        report["jax"] = f"import failed: {e!r}"
+
+    plat = getattr(args, "platform", None)
+    force = (
+        f"import jax; jax.config.update('jax_platforms', {plat!r})\n"
+        if plat else "import jax\n"
+    )
+    probe = force + (
+        "ds = jax.devices()\n"
+        "import json; print(json.dumps({'platform': ds[0].platform,"
+        " 'device_kind': ds[0].device_kind, 'n_devices': len(ds)}))"
+    )
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", probe], capture_output=True, text=True,
+            timeout=args.probe_timeout,
+        )
+        if out.returncode == 0:
+            report["backend"] = json.loads(out.stdout.strip().splitlines()[-1])
+        else:
+            report["backend"] = {
+                "error": (out.stderr or "").strip().splitlines()[-1:]
+            }
+    except subprocess.TimeoutExpired:
+        report["backend"] = {
+            "error": f"unreachable: jax.devices() hung >{args.probe_timeout}s "
+                     "(remote-TPU tunnel down?)"
+        }
+
+    cache = os.environ.get("SSAD_JAX_CACHE", "/tmp/ssad_tpu_jax_cache")
+    try:
+        Path(cache).mkdir(parents=True, exist_ok=True)
+        probe_file = Path(cache) / ".doctor_probe"
+        probe_file.write_text("ok")
+        probe_file.unlink()
+        report["compile_cache"] = {"dir": cache, "writable": True}
+    except OSError as e:
+        report["compile_cache"] = {"dir": cache, "writable": False,
+                                   "error": repr(e)}
+
+    try:
+        from ssad_tpu import native
+
+        report["native_loader"] = {"available": bool(native.available())}
+    except Exception as e:
+        report["native_loader"] = {"available": False, "error": repr(e)}
+
+    ok = (
+        isinstance(report.get("backend"), dict)
+        and "error" not in report["backend"]
+        and report["compile_cache"]["writable"]
+    )
+    report["ok"] = bool(ok)
+    print(json.dumps(report))
+    return 0 if ok else 1
+
+
 def cmd_profile(args) -> int:
     """Capture a jax.profiler device trace of a hot program — the fused
     train step (--what train) or the fused patch-scoring program
@@ -1183,6 +1258,18 @@ def build_parser() -> argparse.ArgumentParser:
     ea.add_argument("--aupro-fpr-limit", type=float, default=0.3)
     ea.add_argument("--platform", default=None, choices=["cpu", "tpu", "gpu"])
     ea.set_defaults(fn=cmd_evaluate_artifact)
+
+    dr = sub.add_parser(
+        "doctor",
+        help="environment self-check (hang-proof backend probe, compile "
+             "cache, native loader); exit 0 iff healthy",
+    )
+    dr.add_argument("--probe-timeout", type=float, default=60.0,
+                    help="seconds before declaring the backend "
+                         "unreachable (a dead remote-TPU tunnel hangs "
+                         "jax.devices() forever)")
+    dr.add_argument("--platform", default=None, choices=["cpu", "tpu", "gpu"])
+    dr.set_defaults(fn=cmd_doctor)
 
     sc = sub.add_parser(
         "score",

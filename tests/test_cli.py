@@ -177,3 +177,22 @@ class TestSweepSkipExisting:
         assert rc == 0
         assert trained == ["carpet"]
         assert "bottle: checkpoint exists" in capsys.readouterr().out
+
+
+class TestDoctor:
+    def test_healthy_on_cpu(self, capsys):
+        rc = main(["doctor", "--platform", "cpu", "--probe-timeout", "120"])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0 and out["ok"] is True
+        assert out["backend"]["platform"] == "cpu"
+        assert out["backend"]["n_devices"] >= 1
+        assert out["compile_cache"]["writable"] is True
+
+    def test_hung_backend_reported_not_hung(self, capsys):
+        """The probe's whole purpose: a backend that hangs (dead TPU
+        tunnel) must be REPORTED within the timeout, never hang the
+        doctor itself."""
+        rc = main(["doctor", "--platform", "cpu", "--probe-timeout", "0.01"])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 1 and out["ok"] is False
+        assert "unreachable" in out["backend"]["error"]
