@@ -40,6 +40,10 @@ class AnomalyDetector:
 
     bank: Optional[jax.Array] = None  # (M, D) fitted normality bank
     threshold: Optional[float] = None
+    #: scores of the 30% validation split, retained by fit() — the
+    #: calibration distribution serving drift monitoring compares the
+    #: live score stream against (serving/drift.py)
+    calibration_scores: Optional[jax.Array] = None
 
     def fit(self, embeddings: jax.Array, key: Optional[jax.Array] = None) -> "AnomalyDetector":
         """Fit on normal embeddings: 70/30 split, threshold from val part.
@@ -65,6 +69,7 @@ class AnomalyDetector:
 
         self.bank = train
         val_scores = knn_cosine_scores(val, train, k=self.k)
+        self.calibration_scores = val_scores
         if self.threshold_rule == "quantile":
             self.threshold = float(jnp.quantile(val_scores, 0.99))
         else:
@@ -137,6 +142,8 @@ class MahalanobisDetector:
     mean: Optional[jax.Array] = None  # (D,)
     precision: Optional[jax.Array] = None  # (D, D)
     threshold: Optional[float] = None
+    #: validation-split scores retained by fit() (see AnomalyDetector)
+    calibration_scores: Optional[jax.Array] = None
 
     def fit(self, embeddings: jax.Array, key: Optional[jax.Array] = None) -> "MahalanobisDetector":
         emb = jnp.asarray(embeddings, jnp.float32)
@@ -157,7 +164,8 @@ class MahalanobisDetector:
         cov = (1.0 - self.shrinkage) * cov + self.shrinkage * trace_scaled * jnp.eye(d)
         self.mean = mu
         self.precision = jnp.linalg.inv(cov)
-        self.threshold = float(jnp.max(self._scores(val)))
+        self.calibration_scores = self._scores(val)
+        self.threshold = float(jnp.max(self.calibration_scores))
         return self
 
     def _scores(self, queries: jax.Array) -> jax.Array:

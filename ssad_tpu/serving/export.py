@@ -380,6 +380,7 @@ def export_checkpoint(
     engine, bank, cfg = inf.load_engine(checkpoint_path)
     if imsize is None:
         imsize = tuple(cfg.data.imsize) if cfg is not None else (256, 256)
+    data = None  # patch-mode training images (doubles as calibration input)
     if normality is None:
         if mode == "patch":
             if dataset_dir is None:
@@ -450,4 +451,56 @@ def export_checkpoint(
     meta["checkpoint"] = str(checkpoint_path)
     if cfg is not None and cfg.data.subject:
         meta["subject"] = cfg.data.subject
+    meta["calibration"] = _calibration_summary(
+        engine, det, mode, scorer, data, imsize, patch_dim, stride,
+        meta.get("upsample_to"), k,
+    )
     return save_artifact(out_path, exported, meta)
+
+
+def _calibration_summary(engine, det, mode, scorer, data, imsize,
+                         patch_dim, stride, upsample_to, k,
+                         max_images: int = 32):
+    """The score-drift baseline baked into the artifact header
+    (serving/drift.py): a quantile grid over calibration scores of the
+    SAME quantity the server tracks per request.
+
+    * image mode — the detector's fit-time validation-split scores
+      (per-image anomaly scores, exactly what `POST /score` returns);
+    * patch mode — per-image anomaly-map maxima over held-out training
+      images, scored through the live engine's fused patch program with
+      the fitted bank (the per-patch fit scores are the wrong quantity:
+      the server only sees the blurred/upsampled map; for quantized
+      artifacts the residual gap is the `export --validate` drift
+      report, far below drift-alert resolution).  Needs training images
+      on the export host; None when only an explicit normality array
+      was given.
+    """
+    from ssad_tpu.ops import image as im
+    from ssad_tpu.serving.drift import quantile_summary
+
+    if mode == "image":
+        summary = quantile_summary(np.asarray(det.calibration_scores))
+        summary["source"] = f"fit-val-{scorer}"
+        return summary
+    if data is None:
+        return None
+    images = data.val_images if len(data.val_images) else data.train_images
+    images = images[:max_images]
+    maxima = []
+    for lo in range(0, images.shape[0], 4):
+        xn = jax.vmap(im.normalize_imagenet)(jnp.asarray(images[lo : lo + 4]))
+        if scorer == "mahalanobis":
+            maps = engine.score_patch_maps_mahalanobis(
+                xn, det.mean, det.precision, dim=patch_dim, stride=stride,
+                upsample_to=upsample_to,
+            )
+        else:
+            maps = engine.score_patch_maps(
+                xn, det.bank, dim=patch_dim, stride=stride, k=k,
+                upsample_to=upsample_to,
+            )
+        maxima.extend(np.asarray(maps).max(axis=(1, 2)).tolist())
+    summary = quantile_summary(maxima)
+    summary["source"] = f"val-image-map-max-{scorer}"
+    return summary

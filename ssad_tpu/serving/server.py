@@ -22,9 +22,13 @@ inference is an offline Lightning predict loop, tools.py:310-390.)
   GET  /healthz  → {"ok": true} (liveness: the process is up)
   GET  /readyz   → {"ready": true} or 503 (readiness: a zero image
                  actually scores through every batcher)
-  GET  /stats    → batcher latency/occupancy counters (JSON, for humans)
+  GET  /stats    → batcher latency/occupancy counters + the score-stream
+                 window and its drift KS vs the artifact's baked
+                 calibration distribution (JSON, for humans;
+                 serving/drift.py)
   GET  /metrics  → the same counters in Prometheus exposition format
-                 (for scrapers).
+                 (for scrapers), incl. ssad_score_drift_ks /
+                 ssad_score_drift_alert.
 
 Scorer plumbing is callable-agnostic: anything mapping a float32
 (B, H, W, 3) array to a tuple of per-row arrays serves — a deserialized
@@ -274,13 +278,21 @@ def _heatmap_png_b64(amap: np.ndarray) -> str:
     return base64.b64encode(buf.getvalue()).decode("ascii")
 
 
-def _prometheus_metrics(models: dict) -> str:
+def _prometheus_metrics(models: dict, trackers: Optional[dict] = None) -> str:
     """BatchingScorer.stats() for every model → Prometheus text format.
 
     Counter/gauge/summary naming per the exposition-format conventions;
     one `model` label routes multi-model servers to per-model series.
+    `trackers` (serving/drift.py ScoreTrackers, same keys) adds the
+    score-stream families: recent-score quantiles and the drift KS
+    against the artifact's baked calibration distribution.
     """
     stats = {name: sc.stats() for name, (sc, _) in sorted(models.items())}
+    if trackers:
+        for name, st in stats.items():
+            st.update(
+                ("score_" + k, v) for k, v in trackers[name].stats().items()
+            )
 
     # the exposition format requires each metric family to be ONE
     # uninterrupted group (HELP/TYPE first, then every sample) — strict
@@ -307,6 +319,23 @@ def _prometheus_metrics(models: dict) -> str:
                             ("0.95", "latency_ms_p95"))
              if st[key] is not None
          ]),
+        ("ssad_recent_score", "summary",
+         "Anomaly-score quantiles over the recent request window.",
+         lambda st, name: [
+             (f'{{model="{name}",quantile="{q}"}}', f"{st[key]:.6f}")
+             for q, key in (("0.5", "score_recent_p50"),
+                            ("0.95", "score_recent_p95"))
+             if st.get(key) is not None
+         ]),
+        ("ssad_score_drift_ks", "gauge",
+         "KS distance of recent scores vs the artifact's calibration "
+         "distribution (serving/drift.py).",
+         lambda st, name: [] if st.get("score_drift_ks") is None else
+         [(f'{{model="{name}"}}', f"{st['score_drift_ks']:.6f}")]),
+        ("ssad_score_drift_alert", "gauge",
+         "1 when the drift KS exceeds the alpha=0.05 critical value.",
+         lambda st, name: [] if st.get("score_drift_alert") is None else
+         [(f'{{model="{name}"}}', int(st["score_drift_alert"]))]),
     )
     lines = []
     for fam, kind, help_text, samples in families:
@@ -351,6 +380,15 @@ class AnomalyHTTPServer:
         self.meta = meta
         self.score_timeout = float(score_timeout)
         self.ready_timeout = float(ready_timeout)
+        # one score-stream tracker per model; artifacts exported with a
+        # baked calibration grid get drift monitoring, others still get
+        # the recent-score window (serving/drift.py)
+        from ssad_tpu.serving.drift import ScoreTracker
+
+        self.trackers = {
+            name: ScoreTracker(baseline=m.get("calibration"))
+            for name, (_, m) in self.models.items()
+        }
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -390,7 +428,9 @@ class AnomalyHTTPServer:
                     # human-readable JSON twin).  Quantiles follow the
                     # summary-metric convention; occupancy/queue depth
                     # are gauges.
-                    self._text(200, _prometheus_metrics(outer.models),
+                    self._text(200,
+                               _prometheus_metrics(outer.models,
+                                                   outer.trackers),
                                "text/plain; version=0.0.4")
                 elif self.path.partition("?")[0] == "/readyz":
                     # READINESS (vs /healthz liveness): actually score a
@@ -422,11 +462,16 @@ class AnomalyHTTPServer:
                 elif self.path == "/stats":
                     if len(outer.models) > 1:
                         self._json(200, {
-                            name: sc.stats()
+                            name: {**sc.stats(),
+                                   "scores": outer.trackers[name].stats()}
                             for name, (sc, _) in outer.models.items()
                         })
                     else:
-                        self._json(200, outer.scorer.stats())
+                        name = next(iter(outer.models))
+                        self._json(200, {
+                            **outer.scorer.stats(),
+                            "scores": outer.trackers[name].stats(),
+                        })
                 else:
                     self._json(404, {"error": f"no route {self.path}"})
 
@@ -456,6 +501,7 @@ class AnomalyHTTPServer:
                             "models": sorted(outer.models),
                         })
                         return
+                    name = next(iter(outer.models))
                     scorer, meta = outer.scorer, outer.meta
                 elif path.startswith("/score/"):
                     name = path[len("/score/"):]
@@ -506,6 +552,12 @@ class AnomalyHTTPServer:
                         }
                         if len(result) > 2:
                             payload["logits"] = np.asarray(result[2]).tolist()
+                    # feed the drift tracker the same scalar the client
+                    # sees: the anomaly score (image) / map max (patch)
+                    outer.trackers[name].observe(
+                        payload["map_max"] if meta.get("mode") == "patch"
+                        else payload["score"]
+                    )
                     self._json(200, payload)
                 except Overloaded as e:
                     self._json(503, {"error": repr(e)})

@@ -756,6 +756,12 @@ class TestExportCheckpoint:
         scorer = load_scorer(path)
         assert scorer.meta["scorer"] == "mahalanobis"
         assert np.isfinite(scorer.meta["threshold"])
+        # drift baseline: the fit-time validation scores ride along
+        cal = scorer.meta["calibration"]
+        assert cal["source"] == "fit-val-mahalanobis"
+        assert cal["n"] >= 1 and len(cal["probs"]) == len(cal["values"])
+        # threshold rule is max-of-val, so the top quantile IS the threshold
+        assert cal["values"][-1] == pytest.approx(scorer.meta["threshold"], rel=1e-5)
         imgs = np.random.default_rng(8).uniform(size=(2, 64, 64, 3)).astype(np.float32)
         scores, labels, _ = scorer(imgs)
         assert np.isfinite(scores).all()
@@ -774,6 +780,11 @@ class TestExportCheckpoint:
         )
         scorer = load_scorer(path)
         assert scorer.meta["mode"] == "patch"
+        # drift baseline is per-image map maxima (the quantity the
+        # server tracks), scored through the fused patch program
+        cal = scorer.meta["calibration"]
+        assert cal["source"] == "val-image-map-max-knn"
+        assert cal["n"] >= 1 and np.isfinite(cal["values"]).all()
         imgs = np.random.default_rng(4).uniform(size=(2, 64, 64, 3)).astype(np.float32)
         (maps,) = scorer(imgs)
         assert maps.shape == (2, 64, 64)
@@ -1347,3 +1358,128 @@ class TestReadyz:
             assert "backend gone" in str(body["failures"])
         finally:
             srv.stop()
+
+
+# ---------------------------------------------------------------------------
+# Score-drift monitoring (serving/drift.py)
+# ---------------------------------------------------------------------------
+
+
+class TestDrift:
+    def test_quantile_summary_roundtrip(self):
+        from ssad_tpu.serving.drift import quantile_summary
+
+        rng = np.random.default_rng(0)
+        s = quantile_summary(rng.normal(1.0, 0.2, 500))
+        assert s["n"] == 500
+        assert s["values"] == sorted(s["values"])
+        assert s["probs"][0] == 0.0 and s["probs"][-1] == 1.0
+        with pytest.raises(ValueError):
+            quantile_summary([])
+
+    def test_ks_small_for_same_distribution(self):
+        from ssad_tpu.serving.drift import (
+            ks_alert_level, ks_statistic, quantile_summary,
+        )
+
+        rng = np.random.default_rng(1)
+        baseline = quantile_summary(rng.normal(1.0, 0.2, 2000))
+        same = rng.normal(1.0, 0.2, 400)
+        ks = ks_statistic(same, baseline)
+        assert ks < ks_alert_level(len(same), baseline["n"])
+
+    def test_ks_large_for_shifted_distribution(self):
+        from ssad_tpu.serving.drift import (
+            ks_alert_level, ks_statistic, quantile_summary,
+        )
+
+        rng = np.random.default_rng(2)
+        baseline = quantile_summary(rng.normal(1.0, 0.2, 2000))
+        shifted = rng.normal(1.6, 0.2, 400)  # 3σ mean shift
+        ks = ks_statistic(shifted, baseline)
+        assert ks > 2 * ks_alert_level(len(shifted), baseline["n"])
+
+    def test_tracker_gates_on_min_scores_and_baseline(self):
+        from ssad_tpu.serving.drift import ScoreTracker, quantile_summary
+
+        rng = np.random.default_rng(3)
+        baseline = quantile_summary(rng.normal(0.0, 1.0, 1000))
+        tr = ScoreTracker(baseline=baseline, min_scores=10)
+        for v in rng.normal(0.0, 1.0, 9):
+            tr.observe(v)
+        st = tr.stats()
+        assert st["recent_n"] == 9 and st["drift_ks"] is None
+        tr.observe(0.0)
+        st = tr.stats()
+        assert st["drift_ks"] is not None
+        assert st["drift_alert"] is False
+        # no baseline → recent stats only, drift stays None forever
+        tr2 = ScoreTracker(baseline=None, min_scores=1)
+        tr2.observe(1.0)
+        st2 = tr2.stats()
+        assert st2["recent_p50"] == 1.0 and st2["drift_ks"] is None
+
+    def test_tracker_window_is_bounded(self):
+        from ssad_tpu.serving.drift import ScoreTracker
+
+        tr = ScoreTracker(window=16, min_scores=1)
+        for v in range(100):
+            tr.observe(float(v))
+        st = tr.stats()
+        assert st["recent_n"] == 16
+        assert st["observed_total"] == 100
+        assert st["recent_p50"] >= 84.0  # only the newest window remains
+
+
+class TestHTTPDrift:
+    def _server(self, baseline):
+        from ssad_tpu.serving.server import AnomalyHTTPServer, BatchingScorer
+
+        sc = BatchingScorer(_sum_scorer, batch=4, max_delay_ms=2.0)
+        meta = {"mode": "image", "imsize": [8, 8], "threshold": 150.0,
+                "calibration": baseline}
+        return AnomalyHTTPServer(sc, meta, port=0).start()
+
+    def test_drift_alert_fires_on_shifted_scores(self):
+        """Calibrated around pixel-sum≈96; all-ones posts score 192 —
+        the live stream is totally separated from calibration, so the
+        KS must hit ~1 and alert once min_scores requests arrive."""
+        from ssad_tpu.serving.drift import quantile_summary
+
+        rng = np.random.default_rng(0)
+        baseline = quantile_summary(rng.normal(96.0, 2.0, 500))
+        srv = self._server(baseline)
+        srv.trackers["default"].min_scores = 8
+        try:
+            img = np.full((8, 8, 3), 1.0, np.float32)
+            buf = io.BytesIO()
+            np.save(buf, img)
+            for _ in range(8):
+                _post(srv.port, "/score", buf.getvalue())
+            st = _get(srv.port, "/stats")["scores"]
+            assert st["recent_n"] == 8
+            assert st["drift_ks"] == pytest.approx(1.0)
+            assert st["drift_alert"] is True
+            metrics = urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/metrics", timeout=30
+            ).read().decode()
+            assert 'ssad_score_drift_ks{model="default"} 1.0' in metrics
+            assert 'ssad_score_drift_alert{model="default"} 1' in metrics
+            assert 'ssad_recent_score{model="default",quantile="0.5"}' in metrics
+        finally:
+            srv.stop()
+
+    def test_no_calibration_still_tracks_scores(self, image_server):
+        img = np.full((8, 8, 3), 0.5, np.float32)
+        buf = io.BytesIO()
+        np.save(buf, img)
+        _post(image_server.port, "/score", buf.getvalue())
+        st = _get(image_server.port, "/stats")["scores"]
+        assert st["recent_n"] >= 1
+        assert st["drift_ks"] is None
+        # /metrics omits the drift families but keeps the score summary
+        metrics = urllib.request.urlopen(
+            f"http://127.0.0.1:{image_server.port}/metrics", timeout=30
+        ).read().decode()
+        assert "ssad_score_drift_ks{" not in metrics
+        assert 'ssad_recent_score{model="default",quantile="0.5"}' in metrics
