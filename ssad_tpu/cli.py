@@ -623,25 +623,17 @@ def cmd_score(args) -> int:
     from ssad_tpu.data.mvtec import load_image
     from ssad_tpu.serving.export import load_scorer
 
+    if bool(args.url) == bool(args.artifact):
+        raise SystemExit("pass exactly one of --artifact or --url")
+    if args.url:
+        return _score_remote(args)
+
     _serving_compile_cache()
     scorer = load_scorer(args.artifact)
     h, w = scorer.meta["imsize"]
     mode = scorer.meta.get("mode", "image")
 
-    exts = {".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff", ".npy"}
-    paths = []
-    for item in args.images:
-        p = Path(item)
-        if p.is_dir():
-            paths.extend(
-                q for q in sorted(p.rglob("*")) if q.suffix.lower() in exts
-            )
-        elif p.exists():
-            paths.append(p)
-        else:
-            raise SystemExit(f"no such file or directory: {item}")
-    if not paths:
-        raise SystemExit("no images found under the given paths")
+    paths = _collect_images(args.images)
 
     # fail on mis-shaped .npy files BEFORE any scoring happens (header
     # read only, no data load): a bad file sorting last must not abort
@@ -732,6 +724,113 @@ def cmd_score(args) -> int:
     }
     if mode == "image":
         summary["n_anomalous"] = n_anomalous
+    if heat_dir is not None:
+        summary["heatmaps"] = str(heat_dir)
+    print(json.dumps(summary))
+    return 0
+
+
+def _collect_images(items) -> list:
+    """Files and/or directories → sorted list of image paths (shared by
+    the local-artifact and remote `cli score` modes)."""
+    exts = {".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff", ".npy"}
+    paths = []
+    for item in items:
+        p = Path(item)
+        if p.is_dir():
+            paths.extend(
+                q for q in sorted(p.rglob("*")) if q.suffix.lower() in exts
+            )
+        elif p.exists():
+            paths.append(p)
+        else:
+            raise SystemExit(f"no such file or directory: {item}")
+    if not paths:
+        raise SystemExit("no images found under the given paths")
+    return paths
+
+
+def _score_remote(args) -> int:
+    """`cli score --url`: thin-client folder scoring against a RUNNING
+    server (serving/client.py) — raw file bytes are posted, the server
+    decodes and resizes, nothing model-specific lives on this host.
+    Per-file client errors (bad geometry/scale → HTTP 400) are recorded
+    in errors.csv and the run continues: one bad file must not abort a
+    folder sweep."""
+    import csv
+
+    from ssad_tpu.serving.client import ServingClient, ServingError
+
+    client = ServingClient(args.url, model=args.model, timeout=300.0,
+                           retries=4)
+    health = client.healthz()
+    if "models" in health:
+        if not args.model:
+            raise SystemExit(
+                f"server hosts several models ({sorted(health['models'])}); "
+                "pass --model"
+            )
+        mode = health["models"][args.model]
+    else:
+        mode = health.get("mode", "image")
+
+    if args.heatmaps and mode != "patch":
+        raise SystemExit("--heatmaps needs a patch-mode model")
+
+    paths = _collect_images(args.images)
+    out_dir = Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    heat_dir = None
+    if args.heatmaps:
+        heat_dir = out_dir / "heatmaps"
+        heat_dir.mkdir(exist_ok=True)
+
+    csv_path = out_dir / "scores.csv"
+    err_path = out_dir / "errors.csv"
+    n_rows = n_anomalous = 0
+    errors = []
+    threshold = None
+    with open(csv_path, "w", newline="") as f:
+        wr = csv.writer(f)
+        wr.writerow(["path", "map_max", "map_mean"] if mode == "patch"
+                    else ["path", "score", "label"])
+        for i, p in enumerate(paths):
+            try:
+                out = client.score_file(p, heatmap=bool(heat_dir))
+            except ServingError as e:
+                if e.status >= 500:
+                    raise SystemExit(f"{p}: server failure — {e}")
+                errors.append((str(p), e.status, str(e)))
+                continue
+            if mode == "patch":
+                wr.writerow([str(p), out["map_max"], out["map_mean"]])
+                if heat_dir is not None:
+                    from PIL import Image
+
+                    Image.fromarray(out["heatmap"]).save(
+                        heat_dir / f"{i:05d}_{p.stem}.png"
+                    )
+            else:
+                threshold = out.get("threshold", threshold)
+                n_anomalous += int(out["label"])
+                wr.writerow([str(p), out["score"], out["label"]])
+            n_rows += 1
+            f.flush()
+    if errors:
+        with open(err_path, "w", newline="") as f:
+            wr = csv.writer(f)
+            wr.writerow(["path", "status", "error"])
+            wr.writerows(errors)
+
+    summary = {
+        "mode": mode, "n": n_rows, "csv": str(csv_path),
+        "url": args.url, "n_errors": len(errors),
+    }
+    if errors:
+        summary["errors_csv"] = str(err_path)
+    if mode == "image":
+        summary["n_anomalous"] = n_anomalous
+        summary["threshold"] = threshold
     if heat_dir is not None:
         summary["heatmaps"] = str(heat_dir)
     print(json.dumps(summary))
@@ -1276,8 +1375,16 @@ def build_parser() -> argparse.ArgumentParser:
         help="offline batch scoring of arbitrary image files/folders "
              "with an exported artifact (scores.csv + optional heatmaps)",
     )
-    sc.add_argument("--artifact", required=True,
+    sc.add_argument("--artifact", default=None,
                     help="one .ssadexp artifact (image or patch mode)")
+    sc.add_argument("--url", default=None,
+                    help="score against a RUNNING server instead of a "
+                         "local artifact (thin client: raw file bytes "
+                         "are posted, the server decodes/resizes; "
+                         "per-file 4xx errors go to errors.csv and the "
+                         "run continues)")
+    sc.add_argument("--model", default=None,
+                    help="with --url: model name on a multi-model server")
     sc.add_argument("images", nargs="+",
                     help="image files and/or directories (searched "
                          "recursively for png/jpg/bmp/tif/npy)")

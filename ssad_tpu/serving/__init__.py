@@ -10,3 +10,7 @@ from ssad_tpu.serving.loadgen import (  # noqa: F401
 from ssad_tpu.serving.drift import (  # noqa: F401
     ScoreTracker, ks_statistic, ks_alert_level, quantile_summary,
 )
+from ssad_tpu.serving.client import (  # noqa: F401
+    ServingClient, ServingError, BadRequest, NoSuchRoute, Overloaded as
+    ClientOverloaded, ScoreTimeout, ServerFault,
+)

@@ -1483,3 +1483,178 @@ class TestHTTPDrift:
         ).read().decode()
         assert "ssad_score_drift_ks{" not in metrics
         assert 'ssad_recent_score{model="default",quantile="0.5"}' in metrics
+
+
+# ---------------------------------------------------------------------------
+# ServingClient (serving/client.py) + `cli score --url`
+# ---------------------------------------------------------------------------
+
+
+class TestServingClient:
+    def _client(self, srv, **kw):
+        from ssad_tpu.serving.client import ServingClient
+
+        return ServingClient(f"http://127.0.0.1:{srv.port}", **kw)
+
+    def test_score_array_and_keepalive(self, image_server):
+        cl = self._client(image_server)
+        img = np.full((8, 8, 3), 1.0, np.float32)
+        out = cl.score(img)
+        assert out["score"] == pytest.approx(8 * 8 * 3)
+        conn = cl._local.conn
+        out2 = cl.score(img / 2)
+        assert out2["score"] == pytest.approx(8 * 8 * 3 / 2)
+        # both requests rode the SAME keep-alive connection
+        assert cl._local.conn is conn
+        cl.close()
+        assert cl._local.conn is None
+
+    def test_uint8_arrays_are_accepted(self, image_server):
+        cl = self._client(image_server)
+        out = cl.score(np.full((8, 8, 3), 255, np.uint8))
+        assert out["score"] == pytest.approx(8 * 8 * 3)
+
+    def test_bad_geometry_maps_to_badrequest(self, image_server):
+        from ssad_tpu.serving.client import BadRequest
+
+        cl = self._client(image_server)
+        with pytest.raises(BadRequest) as exc:
+            cl.score(np.zeros((16, 16, 3), np.float32))
+        assert exc.value.status == 400
+        assert "(8, 8, 3)" in str(exc.value)
+
+    def test_unknown_model_maps_to_nosuchroute(self, image_server):
+        from ssad_tpu.serving.client import NoSuchRoute
+
+        cl = self._client(image_server, model="nope")
+        with pytest.raises(NoSuchRoute):
+            cl.score(np.zeros((8, 8, 3), np.float32))
+
+    def test_introspection_surface(self, image_server):
+        cl = self._client(image_server)
+        assert cl.healthz()["ok"] is True
+        assert cl.readyz()["ready"] is True
+        cl.score(np.full((8, 8, 3), 0.25, np.float32))
+        st = cl.stats()
+        assert st["requests"] >= 1 and "scores" in st
+        assert "ssad_requests_total" in cl.metrics()
+
+    def test_score_file_posts_raw_bytes(self, image_server, tmp_path):
+        from PIL import Image
+
+        arr = np.full((16, 16, 3), 255, np.uint8)  # resized server-side
+        p = tmp_path / "shot.png"
+        Image.fromarray(arr).save(p)
+        cl = self._client(image_server)
+        out = cl.score_file(p)
+        assert out["score"] == pytest.approx(8 * 8 * 3, rel=1e-3)
+
+    def test_heatmap_is_decoded_to_array(self):
+        from ssad_tpu.serving.server import AnomalyHTTPServer, BatchingScorer
+
+        def map_scorer(x):
+            return (x.mean(axis=-1),)
+
+        sc = BatchingScorer(map_scorer, batch=2, max_delay_ms=5.0)
+        srv = AnomalyHTTPServer(sc, {"mode": "patch", "imsize": [8, 8]},
+                                port=0).start()
+        try:
+            cl = self._client(srv)
+            out = cl.score(np.random.default_rng(0)
+                           .uniform(size=(8, 8, 3)).astype(np.float32),
+                           heatmap=True)
+            assert "heatmap_b64" not in out
+            assert out["heatmap"].shape == (8, 8)
+            assert out["heatmap"].dtype == np.uint8
+        finally:
+            srv.stop()
+
+    def test_overloaded_retry_drains(self):
+        """retries>0 re-submits shed requests with backoff: a burst
+        that overflows a max_queue=1 server still fully completes."""
+        import threading
+        import time as _time
+
+        from ssad_tpu.serving.server import AnomalyHTTPServer, BatchingScorer
+
+        def slow(x):
+            _time.sleep(0.15)
+            s = x.reshape(x.shape[0], -1).sum(axis=1)
+            return s, (s > 100).astype(np.int32)
+
+        sc = BatchingScorer(slow, batch=1, max_delay_ms=0.1, max_queue=1)
+        srv = AnomalyHTTPServer(sc, {"mode": "image", "imsize": [8, 8]},
+                                port=0).start()
+        try:
+            cl = self._client(srv, retries=8, backoff_s=0.05)
+            results = []
+
+            def hit():
+                results.append(
+                    cl.score(np.full((8, 8, 3), 1.0, np.float32))["score"]
+                )
+
+            threads = [threading.Thread(target=hit) for _ in range(4)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            assert len(results) == 4
+            assert all(r == pytest.approx(8 * 8 * 3) for r in results)
+        finally:
+            srv.stop()
+
+    def test_readyz_returns_state_without_raising(self):
+        from ssad_tpu.serving.server import AnomalyHTTPServer, BatchingScorer
+
+        def broken(x):
+            raise RuntimeError("backend gone")
+
+        sc = BatchingScorer(broken, batch=1, max_delay_ms=0.1)
+        srv = AnomalyHTTPServer(sc, {"mode": "image", "imsize": [8, 8]},
+                                port=0, ready_timeout=5.0).start()
+        try:
+            out = self._client(srv).readyz()
+            assert out["ready"] is False and "backend gone" in str(out["failures"])
+        finally:
+            srv.stop()
+
+
+class TestCliScoreRemote:
+    def test_folder_sweep_against_running_server(self, image_server,
+                                                 tmp_path, capsys):
+        """Thin-client mode: good files score, a bad-geometry npy lands
+        in errors.csv, and the sweep finishes."""
+        import csv
+
+        from PIL import Image
+
+        from ssad_tpu.cli import main
+
+        folder = tmp_path / "shots"
+        folder.mkdir()
+        Image.fromarray(np.full((16, 16, 3), 255, np.uint8)).save(
+            folder / "a.png"
+        )
+        np.save(folder / "b.npy", np.full((8, 8, 3), 0.5, np.float32))
+        np.save(folder / "zz_bad.npy", np.zeros((4, 4, 3), np.float32))
+
+        out_dir = tmp_path / "scored"
+        rc = main([
+            "score", "--url", f"http://127.0.0.1:{image_server.port}",
+            str(folder), "--out", str(out_dir),
+        ])
+        assert rc == 0
+        summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert summary["n"] == 2 and summary["n_errors"] == 1
+        rows = list(csv.reader(open(out_dir / "scores.csv")))
+        assert rows[0] == ["path", "score", "label"]
+        assert len(rows) == 3
+        errs = list(csv.reader(open(out_dir / "errors.csv")))
+        assert errs[1][0].endswith("zz_bad.npy") and errs[1][1] == "400"
+
+    def test_requires_exactly_one_source(self, tmp_path):
+        from ssad_tpu.cli import main
+
+        with pytest.raises(SystemExit, match="exactly one"):
+            main(["score", str(tmp_path), "--out", str(tmp_path / "o")])
