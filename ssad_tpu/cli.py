@@ -493,24 +493,43 @@ def _load_artifact_models(paths, max_delay_ms: float, max_queue):
     return models, total_warmup
 
 
+def _make_http_server(frontend: str, **kw):
+    """Pick the HTTP front end: 'stdlib' (serving/server.py,
+    ThreadingHTTPServer) or 'native' (serving/native_frontend.py, the
+    C++ epoll transport — measured 1.7× the qps at concurrency 16 on a
+    1-core host; see README).  'native' falls back LOUDLY to stdlib
+    when the C++ library cannot be built here."""
+    if frontend == "native":
+        from ssad_tpu.serving import native_frontend
+
+        if native_frontend.available():
+            return native_frontend.NativeAnomalyHTTPServer(**kw), "native"
+        print("WARNING: native front end unavailable (g++/build failed "
+              "or SSAD_NATIVE=0); falling back to the stdlib front end",
+              flush=True)
+    from ssad_tpu.serving.server import AnomalyHTTPServer
+
+    return AnomalyHTTPServer(**kw), "stdlib"
+
+
 def cmd_serve(args) -> int:
     """Serve an exported artifact over HTTP with dynamic batching
     (serving/server.py).  Blocks until interrupted."""
     import time as _time
 
-    from ssad_tpu.serving.server import AnomalyHTTPServer
-
     _serving_compile_cache()
     models, total_warmup = _load_artifact_models(
         args.artifact, args.max_delay_ms, args.max_queue
     )
-    server = AnomalyHTTPServer(
-        host=args.host, port=args.port, score_timeout=args.score_timeout,
-        models=models,
-    ).start()
+    server, frontend = _make_http_server(
+        args.frontend, host=args.host, port=args.port,
+        score_timeout=args.score_timeout, models=models,
+    )
+    server.start()
     print(json.dumps({
         "host": args.host,
         "port": server.port,
+        "frontend": frontend,
         "models": {n: m.get("mode") for n, (_, m) in models.items()},
         "warmup_s": round(total_warmup, 2),
     }), flush=True)
@@ -547,16 +566,15 @@ def cmd_serve_bench(args) -> int:
 
     server = None
     if args.artifact:
-        from ssad_tpu.serving.server import AnomalyHTTPServer
-
         _serving_compile_cache()
         models, _ = _load_artifact_models(
             args.artifact, args.max_delay_ms, args.max_queue
         )
-        server = AnomalyHTTPServer(
-            host="127.0.0.1", port=0, score_timeout=args.score_timeout,
-            models=models,
-        ).start()
+        server, _frontend = _make_http_server(
+            args.frontend, host="127.0.0.1", port=0,
+            score_timeout=args.score_timeout, models=models,
+        )
+        server.start()
         host, port = "127.0.0.1", server.port
         # validate --model in BOTH branches: silently benchmarking a
         # different model than the one the operator named is worse
@@ -1302,6 +1320,12 @@ def build_parser() -> argparse.ArgumentParser:
                          "of unbounded queueing; 0 disables")
     sv.add_argument("--score-timeout", type=float, default=60.0,
                     help="per-request scoring timeout in seconds")
+    sv.add_argument("--frontend", default="stdlib",
+                    choices=["stdlib", "native"],
+                    help="HTTP transport: stdlib ThreadingHTTPServer or "
+                         "the C++ epoll front end (native/"
+                         "http_frontend.cpp; higher qps, lower latency; "
+                         "needs g++ on first use, falls back loudly)")
     sv.add_argument("--platform", default=None, choices=["cpu", "tpu", "gpu"])
     sv.set_defaults(fn=cmd_serve)
 
@@ -1339,6 +1363,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="admission bound for the in-process server; 0 "
                          "disables")
     sb.add_argument("--score-timeout", type=float, default=60.0)
+    sb.add_argument("--frontend", default="stdlib",
+                    choices=["stdlib", "native"],
+                    help="HTTP transport for the in-process server "
+                         "(see `serve --frontend`)")
     sb.add_argument("--seed", type=int, default=0)
     sb.add_argument("--platform", default=None, choices=["cpu", "tpu", "gpu"])
     sb.set_defaults(fn=cmd_serve_bench)

@@ -36,20 +36,25 @@ def _cache_dir() -> Path:
     return Path(d)
 
 
-def build(verbose: bool = False) -> Optional[Path]:
-    """Compile loader.cpp if needed; return the .so path or None."""
-    if not _SRC.exists():
+def build_library(
+    src_path: Path, name: str, libs: Sequence[str] = (), verbose: bool = False
+) -> Optional[Path]:
+    """Compile one .cpp into a cached shared library; returns the .so
+    path or None.  Shared by every native component (loader,
+    serving/native_frontend): hash-keyed on the source so edits
+    rebuild, atomic rename so concurrent builders converge."""
+    if not src_path.exists():
         return None
-    src = _SRC.read_bytes()
+    src = src_path.read_bytes()
     tag = hashlib.sha256(src).hexdigest()[:16]
-    out = _cache_dir() / f"libssadloader-{tag}.so"
+    out = _cache_dir() / f"lib{name}-{tag}.so"
     if out.exists():
         return out
     out.parent.mkdir(parents=True, exist_ok=True)
     tmp = out.with_suffix(f".tmp{os.getpid()}")
     cmd = [
         "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-        str(_SRC), "-lpng", "-ljpeg", "-pthread", "-o", str(tmp),
+        str(src_path), *libs, "-pthread", "-o", str(tmp),
     ]
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
@@ -61,6 +66,11 @@ def build(verbose: bool = False) -> Optional[Path]:
         return None
     tmp.replace(out)  # atomic: concurrent builders converge on one file
     return out
+
+
+def build(verbose: bool = False) -> Optional[Path]:
+    """Compile loader.cpp if needed; return the .so path or None."""
+    return build_library(_SRC, "ssadloader", ("-lpng", "-ljpeg"), verbose)
 
 
 def _load() -> Optional[ctypes.CDLL]:

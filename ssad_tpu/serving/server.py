@@ -347,6 +347,79 @@ def _prometheus_metrics(models: dict, trackers: Optional[dict] = None) -> str:
     return "\n".join(lines) + "\n"
 
 
+# -- route semantics, shared by the stdlib and native front ends -------------
+#
+# The transport differs (ThreadingHTTPServer threads vs the C++ epoll
+# loop in native/http_frontend.cpp), but the payloads MUST NOT: these
+# helpers are the single source of truth for what each route returns.
+
+
+def build_healthz(models: dict, meta: Optional[dict]) -> dict:
+    if len(models) > 1:
+        return {"ok": True, "models": {
+            name: m.get("mode") for name, (_, m) in models.items()
+        }}
+    return {"ok": True, "mode": (meta or {}).get("mode")}
+
+
+def build_readyz(models: dict, ready_timeout: float) -> Tuple[int, dict]:
+    """(status_code, payload): actually score a zero image through
+    every batcher — see the /readyz route doc below."""
+    failures = {}
+    for name, (sc, m) in models.items():
+        try:
+            h, w = m["imsize"]
+            sc.score(np.zeros((h, w, 3), np.float32), timeout=ready_timeout)
+        except Exception as e:
+            failures[name] = repr(e)
+    if failures:
+        return 503, {"ready": False, "failures": failures}
+    return 200, {"ready": True}
+
+
+def build_stats(models: dict, trackers: dict) -> dict:
+    if len(models) > 1:
+        return {
+            name: {**sc.stats(), "scores": trackers[name].stats()}
+            for name, (sc, _) in models.items()
+        }
+    name = next(iter(models))
+    sc, _ = models[name]
+    return {**sc.stats(), "scores": trackers[name].stats()}
+
+
+def build_score_payload(
+    result, meta: dict, want_heatmap: bool, ms: float
+) -> Tuple[dict, float]:
+    """(response payload, the scalar the drift tracker observes)."""
+    if meta.get("mode") == "patch":
+        amap = np.asarray(result[0])
+        payload = {
+            "map_max": float(amap.max()),
+            "map_mean": float(amap.mean()),
+            "ms": round(ms, 3),
+        }
+        if want_heatmap:
+            payload["heatmap_b64"] = _heatmap_png_b64(amap)
+        return payload, payload["map_max"]
+    score, label = result[0], result[1]
+    payload = {
+        "score": float(score),
+        "label": int(label),
+        "threshold": meta.get("threshold"),
+        "ms": round(ms, 3),
+    }
+    if len(result) > 2:
+        payload["logits"] = np.asarray(result[2]).tolist()
+    return payload, payload["score"]
+
+
+def want_heatmap(query: str) -> bool:
+    from urllib.parse import parse_qs
+
+    return parse_qs(query).get("heatmap", ["0"])[0] == "1"
+
+
 class AnomalyHTTPServer:
     """Bind one or many BatchingScorers to an HTTP port.  `port=0`
     picks a free port (read it back from `.port`).
@@ -397,6 +470,13 @@ class AnomalyHTTPServer:
             # client request pay a fresh TCP connect.  Safe here: every
             # response path sends Content-Length (_json/_text).
             protocol_version = "HTTP/1.1"
+            # TCP_NODELAY (a StreamRequestHandler attribute): the
+            # handler writes headers and body as two segments; with
+            # Nagle on, the body segment waits for the client's delayed
+            # ACK of the header segment — a flat ~40 ms floor on EVERY
+            # keep-alive response (measured: p50 44 ms → 3 ms on a
+            # trivial scorer)
+            disable_nagle_algorithm = True
 
             def log_message(self, *args):  # quiet
                 pass
@@ -438,40 +518,13 @@ class AnomalyHTTPServer:
                     # collector thread, broken program, or saturated
                     # queue turns the probe 503 so the load balancer
                     # stops routing here.  Bounded by a short timeout.
-                    failures = {}
-                    for name, (sc, m) in outer.models.items():
-                        try:
-                            h, w = m["imsize"]
-                            sc.score(np.zeros((h, w, 3), np.float32),
-                                     timeout=outer.ready_timeout)
-                        except Exception as e:
-                            failures[name] = repr(e)
-                    if failures:
-                        self._json(503, {"ready": False, "failures": failures})
-                    else:
-                        self._json(200, {"ready": True})
+                    code, payload = build_readyz(outer.models,
+                                                 outer.ready_timeout)
+                    self._json(code, payload)
                 elif self.path == "/healthz":
-                    if len(outer.models) > 1:
-                        payload = {"ok": True, "models": {
-                            name: m.get("mode")
-                            for name, (_, m) in outer.models.items()
-                        }}
-                    else:
-                        payload = {"ok": True, "mode": outer.meta.get("mode")}
-                    self._json(200, payload)
+                    self._json(200, build_healthz(outer.models, outer.meta))
                 elif self.path == "/stats":
-                    if len(outer.models) > 1:
-                        self._json(200, {
-                            name: {**sc.stats(),
-                                   "scores": outer.trackers[name].stats()}
-                            for name, (sc, _) in outer.models.items()
-                        })
-                    else:
-                        name = next(iter(outer.models))
-                        self._json(200, {
-                            **outer.scorer.stats(),
-                            "scores": outer.trackers[name].stats(),
-                        })
+                    self._json(200, build_stats(outer.models, outer.trackers))
                 else:
                     self._json(404, {"error": f"no route {self.path}"})
 
@@ -531,33 +584,12 @@ class AnomalyHTTPServer:
                         image, timeout=outer.score_timeout
                     )
                     ms = (time.perf_counter() - t0) * 1e3
-                    if meta.get("mode") == "patch":
-                        amap = np.asarray(result[0])
-                        payload = {
-                            "map_max": float(amap.max()),
-                            "map_mean": float(amap.mean()),
-                            "ms": round(ms, 3),
-                        }
-                        from urllib.parse import parse_qs
-
-                        if parse_qs(query).get("heatmap", ["0"])[0] == "1":
-                            payload["heatmap_b64"] = _heatmap_png_b64(amap)
-                    else:
-                        score, label = result[0], result[1]
-                        payload = {
-                            "score": float(score),
-                            "label": int(label),
-                            "threshold": meta.get("threshold"),
-                            "ms": round(ms, 3),
-                        }
-                        if len(result) > 2:
-                            payload["logits"] = np.asarray(result[2]).tolist()
+                    payload, primary = build_score_payload(
+                        result, meta, want_heatmap(query), ms
+                    )
                     # feed the drift tracker the same scalar the client
                     # sees: the anomaly score (image) / map max (patch)
-                    outer.trackers[name].observe(
-                        payload["map_max"] if meta.get("mode") == "patch"
-                        else payload["score"]
-                    )
+                    outer.trackers[name].observe(primary)
                     self._json(200, payload)
                 except Overloaded as e:
                     self._json(503, {"error": repr(e)})
