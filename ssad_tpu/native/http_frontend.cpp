@@ -133,6 +133,8 @@ struct Conn {
   bool waiting_response = false;  // a request is out with Python
   int64_t pending_id = 0;         // its id (for cleanup on disconnect)
   bool close_after_write = false;
+  bool peer_closed = false;       // client sent FIN (half-close): finish
+                                  // answering what's buffered, then close
   // header parse scratch
   bool headers_done = false;
   Request cur;
@@ -172,11 +174,21 @@ struct Server {
   std::atomic<long> bytes_in{0}, bytes_out{0};
 };
 
+// A half-closed peer can send nothing more: once no response is owed
+// (none in flight with Python, nothing left to flush) the connection
+// is finished.
+bool half_closed_done(const Conn* c) {
+  return c->peer_closed && !c->waiting_response &&
+         c->woff == c->wbuf.size();
+}
+
 void conn_send(Server* s, Conn* c, std::string bytes) {
   c->wbuf += bytes;
   c->want_write = true;
   epoll_event ev{};
-  ev.events = EPOLLIN | EPOLLOUT;
+  // after a FIN the socket stays EOF-readable forever — keeping EPOLLIN
+  // armed would spin the loop hot until the response is written
+  ev.events = c->peer_closed ? EPOLLOUT : (EPOLLIN | EPOLLOUT);
   ev.data.fd = c->fd;
   epoll_ctl(s->epoll_fd, EPOLL_CTL_MOD, c->fd, &ev);
 }
@@ -232,6 +244,7 @@ bool parse_requests(Server* s, Conn* c) {
       c->content_length = -1;
       c->expect_continue = false;
       bool chunked = false;
+      bool bad_length = false;
       // headers
       size_t pos = line_end + 2;
       while (pos < end) {
@@ -245,7 +258,19 @@ bool parse_requests(Server* s, Conn* c) {
         while (v < h.size() && h[v] == ' ') ++v;
         std::string val = h.substr(v);
         if (key == "content-length") {
-          c->content_length = atol(val.c_str());
+          // strict digits-only parse: atol would coerce "-5"/garbage to
+          // a value whose body bytes then desync the keep-alive stream,
+          // and overflows are UB.  Any invalid length is a hard 400.
+          errno = 0;
+          char* endp = nullptr;
+          long long cl = strtoll(val.c_str(), &endp, 10);
+          if (val.empty() || endp != val.c_str() + val.size() ||
+              errno == ERANGE || cl < 0) {
+            bad_length = true;
+          } else {
+            c->content_length = static_cast<long>(
+                cl > (1LL << 60) ? (1LL << 60) : cl);
+          }
         } else if (key == "transfer-encoding") {
           if (lower(val).find("chunked") != std::string::npos) chunked = true;
         } else if (key == "connection") {
@@ -255,6 +280,10 @@ bool parse_requests(Server* s, Conn* c) {
           if (lower(val).find("100-continue") != std::string::npos)
             c->expect_continue = true;
         }
+      }
+      if (bad_length) {
+        conn_error_response(s, c, 400, "invalid Content-Length");
+        return true;
       }
       if (chunked) {
         // cannot be framed below; reject AND close (unread chunked
@@ -403,8 +432,10 @@ void io_loop(Server* s) {
               break;
             }
           } else if (got == 0) {
-            dead = c->wbuf.size() == c->woff;  // flush pending first
-            if (!dead) c->close_after_write = true;
+            // FIN: the client may have sent request+shutdown(WR) in one
+            // burst (one-shot clients do) — parse and answer what is
+            // buffered before closing, don't drop it on the floor
+            c->peer_closed = true;
             break;
           } else {
             break;  // EAGAIN
@@ -412,6 +443,20 @@ void io_loop(Server* s) {
         }
         if (!dead && !c->close_after_write) {
           if (!parse_requests(s, c)) dead = true;
+        }
+        if (!dead && c->peer_closed) {
+          if (half_closed_done(c)) {
+            // nothing in flight, nothing to flush: any rbuf remainder
+            // is an incomplete request that can never complete
+            dead = true;
+          } else {
+            // de-arm EPOLLIN: an EOF socket stays readable forever and
+            // would spin the loop until the pending response lands
+            epoll_event ev{};
+            ev.events = c->want_write ? EPOLLOUT : 0;
+            ev.data.fd = fd;
+            epoll_ctl(s->epoll_fd, EPOLL_CTL_MOD, fd, &ev);
+          }
         }
       }
       if (!dead && (events[i].events & EPOLLOUT || c->want_write)) {
@@ -429,11 +474,14 @@ void io_loop(Server* s) {
           c->wbuf.clear();
           c->woff = 0;
           c->want_write = false;
-          if (c->close_after_write) {
+          if (c->close_after_write || half_closed_done(c)) {
             dead = true;
           } else {
             epoll_event ev{};
-            ev.events = EPOLLIN;
+            // never re-arm EPOLLIN after a FIN (EOF-readable forever);
+            // a pipelined follow-up response re-arms EPOLLOUT via
+            // conn_send when it arrives
+            ev.events = c->peer_closed ? 0 : EPOLLIN;
             ev.data.fd = fd;
             epoll_ctl(s->epoll_fd, EPOLL_CTL_MOD, fd, &ev);
           }

@@ -269,6 +269,43 @@ class TestProtocol:
         assert bodies[0]["score"] == pytest.approx(192.0)
         assert bodies[1]["score"] == pytest.approx(96.0)
 
+    def test_request_plus_fin_still_answered(self, native_server):
+        """One-shot clients send the request then shutdown(SHUT_WR) in
+        one burst.  The transport must parse + answer what arrived
+        before the FIN instead of dropping the connection."""
+        body = _npy(np.full((8, 8, 3), 1.0, np.float32))
+        req = (
+            f"POST /score HTTP/1.1\r\nHost: x\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode() + body
+        s = socket.create_connection(("127.0.0.1", native_server.port), timeout=10)
+        s.sendall(req)
+        s.shutdown(socket.SHUT_WR)  # FIN before any response byte
+        s.settimeout(10)
+        out = b""
+        while True:
+            got = s.recv(65536)
+            if not got:
+                break
+            out += got
+        s.close()
+        assert out.startswith(b"HTTP/1.1 200")
+        assert json.loads(out[out.find(b"{"):])["score"] == pytest.approx(192.0)
+
+    def test_negative_content_length_is_400(self, native_server):
+        out = self._raw(
+            native_server.port,
+            b"POST /score HTTP/1.1\r\nHost: x\r\nContent-Length: -5\r\n\r\n",
+        )
+        assert out.startswith(b"HTTP/1.1 400")
+
+    def test_garbage_content_length_is_400(self, native_server):
+        out = self._raw(
+            native_server.port,
+            b"POST /score HTTP/1.1\r\nHost: x\r\nContent-Length: 12abc\r\n\r\n",
+        )
+        assert out.startswith(b"HTTP/1.1 400")
+
     def test_transport_sheds_when_python_is_slow(self):
         from ssad_tpu.serving.native_frontend import NativeAnomalyHTTPServer
 
