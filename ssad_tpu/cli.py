@@ -465,17 +465,25 @@ def cmd_export(args) -> int:
     return 0
 
 
-def _load_artifact_models(paths, max_delay_ms: float, max_queue):
+def _load_artifact_models(paths, max_delay_ms: float, max_queue, devices: int = 1):
     """Artifact paths → ({name: (BatchingScorer, meta)}, warmup_s).
 
     Each program is warmed BEFORE accepting traffic: the first
     execution of a deserialized program triggers (remote-tunneled)
     compilation that must not land on a live request's latency budget.
+    With `devices` != 1 every model is replicated across that many
+    local devices (0 = all; serving/replicas.py) and EACH replica is
+    warmed — every placement compiles its own executable.
     Shared by `serve` and `serve-bench` so the benchmarked stack IS
     the served one."""
     from ssad_tpu.serving.export import load_scorer
     from ssad_tpu.serving.server import BatchingScorer
 
+    devs = None
+    if devices != 1:
+        from ssad_tpu.serving.replicas import pick_devices
+
+        devs = pick_devices(devices)
     models = {}
     total_warmup = 0.0
     for path in paths:
@@ -483,9 +491,18 @@ def _load_artifact_models(paths, max_delay_ms: float, max_queue):
         name = scorer.meta.get("subject") or Path(path).stem
         if name in models:
             raise SystemExit(f"duplicate model name {name!r} ({path})")
-        total_warmup += scorer.warmup()
+        if devs is None:
+            total_warmup += scorer.warmup()
+            fns = scorer
+        else:
+            from ssad_tpu.serving.replicas import device_replicas
+
+            reps = device_replicas(scorer, devs)
+            for r in reps:
+                total_warmup += r.warmup()
+            fns = reps
         models[name] = (
-            BatchingScorer(scorer, batch=scorer.batch,
+            BatchingScorer(fns, batch=scorer.batch,
                            max_delay_ms=max_delay_ms,
                            max_queue=max_queue or None),
             scorer.meta,
@@ -519,7 +536,8 @@ def cmd_serve(args) -> int:
 
     _serving_compile_cache()
     models, total_warmup = _load_artifact_models(
-        args.artifact, args.max_delay_ms, args.max_queue
+        args.artifact, args.max_delay_ms, args.max_queue,
+        devices=args.devices,
     )
     server, frontend = _make_http_server(
         args.frontend, host=args.host, port=args.port,
@@ -531,6 +549,7 @@ def cmd_serve(args) -> int:
         "port": server.port,
         "frontend": frontend,
         "models": {n: m.get("mode") for n, (_, m) in models.items()},
+        "devices": args.devices,
         "warmup_s": round(total_warmup, 2),
     }), flush=True)
     # SIGTERM (the fleet-manager stop signal) drains like Ctrl-C:
@@ -568,7 +587,8 @@ def cmd_serve_bench(args) -> int:
     if args.artifact:
         _serving_compile_cache()
         models, _ = _load_artifact_models(
-            args.artifact, args.max_delay_ms, args.max_queue
+            args.artifact, args.max_delay_ms, args.max_queue,
+            devices=args.devices,
         )
         server, _frontend = _make_http_server(
             args.frontend, host="127.0.0.1", port=0,
@@ -1326,6 +1346,13 @@ def build_parser() -> argparse.ArgumentParser:
                          "the C++ epoll front end (native/"
                          "http_frontend.cpp; higher qps, lower latency; "
                          "needs g++ on first use, falls back loudly)")
+    sv.add_argument("--devices", type=int, default=1,
+                    help="replicate each model over the first N local "
+                         "devices, one micro-batch in flight per chip "
+                         "(serving/replicas.py); 0 = all devices. "
+                         "Scoring is embarrassingly parallel, so "
+                         "replicas beat SPMD sharding: single-chip "
+                         "latency, ~linear qps, zero ICI traffic")
     sv.add_argument("--platform", default=None, choices=["cpu", "tpu", "gpu"])
     sv.set_defaults(fn=cmd_serve)
 
@@ -1368,6 +1395,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="HTTP transport for the in-process server "
                          "(see `serve --frontend`)")
     sb.add_argument("--seed", type=int, default=0)
+    sb.add_argument("--devices", type=int, default=1,
+                    help="replicate the in-process server's models over "
+                         "the first N local devices (see `serve "
+                         "--devices`); 0 = all")
     sb.add_argument("--platform", default=None, choices=["cpu", "tpu", "gpu"])
     sb.set_defaults(fn=cmd_serve_bench)
 

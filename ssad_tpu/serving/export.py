@@ -246,6 +246,25 @@ def save_artifact(path: str | Path, exported, meta: dict) -> str:
     return str(path)
 
 
+def warm_call(call, x, max_calls: int = 16, settled_s: float = 0.25) -> float:
+    """Execute `call(x)` until the per-call wall time settles under
+    `settled_s`; returns total seconds spent.  Every result leaf is read
+    back to the host each round (`block_until_ready` under-reports on
+    tunneled backends).  Shared by ServedScorer.warmup and the
+    per-device replicas (serving/replicas.py)."""
+    import time
+
+    t0 = time.perf_counter()
+    for _ in range(max_calls):
+        t1 = time.perf_counter()
+        res = call(x)
+        for leaf in jax.tree_util.tree_leaves(res):
+            np.asarray(leaf)
+        if time.perf_counter() - t1 < settled_s:
+            break
+    return time.perf_counter() - t0
+
+
 @dataclasses.dataclass
 class ServedScorer:
     """A deserialized artifact, callable on numpy image batches.
@@ -286,19 +305,9 @@ class ServedScorer:
         calls, so a single call is not enough.  Every result leaf is
         read back to the host (`block_until_ready` under-reports on
         tunneled backends)."""
-        import time
-
         h, w = self.meta["imsize"]
         x = jnp.zeros((self.batch, h, w, 3), jnp.float32)
-        t0 = time.perf_counter()
-        for _ in range(max_calls):
-            t1 = time.perf_counter()
-            res = self._call(x)
-            for leaf in jax.tree_util.tree_leaves(res):
-                np.asarray(leaf)
-            if time.perf_counter() - t1 < settled_s:
-                break
-        return time.perf_counter() - t0
+        return warm_call(self._call, x, max_calls=max_calls, settled_s=settled_s)
 
     def __call__(self, images: np.ndarray) -> Tuple[np.ndarray, ...]:
         x = np.asarray(images, dtype=np.float32)

@@ -65,18 +65,32 @@ class _Request:
 
 
 class BatchingScorer:
-    """Dynamic batcher around a fixed-batch scoring callable."""
+    """Dynamic batcher around one or many fixed-batch scoring callables.
+
+    `score_fn` may be a single callable or a sequence of them.  With
+    several (e.g. one replica per TPU chip, serving/replicas.py), the
+    collector thread still assembles batches serially — batching policy
+    stays in ONE place — but hands each assembled batch to a pool of
+    runner threads, one pinned per callable, so up to `len(score_fn)`
+    batches execute concurrently.  The hand-off queue is bounded at the
+    runner count: when every replica is busy, assembly blocks, and
+    admission pressure surfaces at `max_queue` as 503s exactly like the
+    single-replica case.
+    """
 
     def __init__(
         self,
-        score_fn: Callable[[np.ndarray], Sequence[np.ndarray]],
+        score_fn: Callable[[np.ndarray], Sequence[np.ndarray]] | Sequence[Callable],
         batch: int,
         max_delay_ms: float = 5.0,
         max_queue: Optional[int] = 256,
     ):
         import collections
 
-        self._score_fn = score_fn
+        fns = list(score_fn) if isinstance(score_fn, (list, tuple)) else [score_fn]
+        if not fns:
+            raise ValueError("need at least one scoring callable")
+        self._fns = fns
         self.batch = int(batch)
         self.max_delay = max_delay_ms / 1e3
         #: admission bound: when this many requests are already queued,
@@ -90,7 +104,19 @@ class BatchingScorer:
         self._occupancies = collections.deque(maxlen=1024)
         self._n_requests = 0
         self._n_batches = 0
+        self._runner_batches = [0] * len(fns)
         self._closed = False
+        if len(fns) > 1:
+            self._run_queue: Optional["queue.Queue"] = queue.Queue(maxsize=len(fns))
+            self._runners = [
+                threading.Thread(target=self._runner_loop, args=(i,), daemon=True)
+                for i in range(len(fns))
+            ]
+            for t in self._runners:
+                t.start()
+        else:
+            self._run_queue = None
+            self._runners = []
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -129,7 +155,7 @@ class BatchingScorer:
             n_req, n_bat = self._n_requests, self._n_batches
         pct = lambda p: (lat[min(int(p * len(lat)), len(lat) - 1)] * 1e3
                          if lat else None)
-        return {
+        out = {
             "requests": n_req,
             "batches": n_bat,
             "mean_batch_occupancy": float(np.mean(occ)) if occ else None,
@@ -138,12 +164,19 @@ class BatchingScorer:
             "queue_depth": self._queue.qsize(),
             "max_queue": self.max_queue,
         }
+        if len(self._fns) > 1:
+            with self._lock:
+                out["replicas"] = len(self._fns)
+                out["replica_batches"] = list(self._runner_batches)
+        return out
 
     def close(self):
         if not self._closed:
             self._closed = True
             self._queue.put(None)
             self._thread.join(timeout=10)
+            for t in self._runners:
+                t.join(timeout=10)
             # requests that raced past the _closed check in submit() may
             # sit behind the sentinel — fail them fast instead of
             # leaving their callers to block out the full score timeout
@@ -165,6 +198,7 @@ class BatchingScorer:
         while True:
             req = self._queue.get()
             if req is None:
+                self._stop_runners()
                 self._cancel_pending()
                 return
             reqs = [req]
@@ -178,25 +212,49 @@ class BatchingScorer:
                 except queue.Empty:
                     break
                 if nxt is None:
-                    self._run(reqs)
+                    self._dispatch(reqs)
+                    self._stop_runners()
                     self._cancel_pending()
                     return
                 reqs.append(nxt)
-            self._run(reqs)
+            self._dispatch(reqs)
 
-    def _run(self, reqs):
+    def _dispatch(self, reqs):
+        if self._run_queue is None:
+            self._run(reqs, 0)
+        else:
+            # blocks when every replica is busy AND one batch is already
+            # staged per runner — backpressure reaches max_queue
+            self._run_queue.put(reqs)
+
+    def _stop_runners(self):
+        if self._run_queue is not None:
+            # runners drain FIFO: every staged batch is executed before
+            # its runner sees the sentinel
+            for _ in self._runners:
+                self._run_queue.put(None)
+
+    def _runner_loop(self, idx: int):
+        while True:
+            reqs = self._run_queue.get()
+            if reqs is None:
+                return
+            self._run(reqs, idx)
+
+    def _run(self, reqs, fn_idx: int):
         n = len(reqs)
         try:
             x = np.stack([r.image for r in reqs])
             if n < self.batch:
                 x = np.pad(x, ((0, self.batch - n),) + ((0, 0),) * 3)
-            results = tuple(np.asarray(r) for r in self._score_fn(x))
+            results = tuple(np.asarray(r) for r in self._fns[fn_idx](x))
             now = time.perf_counter()
             with self._lock:
                 self._occupancies.append(n / self.batch)
                 self._latencies.extend(now - r.t_submit for r in reqs)
                 self._n_batches += 1
                 self._n_requests += n
+                self._runner_batches[fn_idx] += 1
             for i, r in enumerate(reqs):
                 r.result = tuple(res[i : i + 1] for res in results)
                 r.event.set()
@@ -304,6 +362,12 @@ def _prometheus_metrics(models: dict, trackers: Optional[dict] = None) -> str:
         ("ssad_batches_total", "counter",
          "Executed scoring batches since start.",
          lambda st, name: [(f'{{model="{name}"}}', st["batches"])]),
+        ("ssad_replica_batches_total", "counter",
+         "Batches executed per device replica (serve --devices).",
+         lambda st, name: [
+             (f'{{model="{name}",replica="{i}"}}', v)
+             for i, v in enumerate(st.get("replica_batches") or [])
+         ]),
         ("ssad_queue_depth", "gauge",
          "Requests waiting for admission right now.",
          lambda st, name: [(f'{{model="{name}"}}', st["queue_depth"])]),
