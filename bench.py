@@ -270,8 +270,42 @@ def bench_patch_scoring(rng, h, w, patch_dim=32, stride=8, bank_rows=1000, bs=8)
     return dt * 1e3 / bs, roofline
 
 
+def _probe_backend(timeout_s: float = 270.0) -> str | None:
+    """Reach the backend in a SUBPROCESS with a hard timeout.
+
+    Through the remote TPU tunnel, `jax.devices()` does not error when
+    the tunnel is down — it hangs forever, which would leave the driver
+    with no bench record at all.  A subprocess probe (same trick as
+    `cli doctor`) turns that hang into one diagnosable JSON error line
+    and a nonzero exit.  Returns None when healthy, else the error."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].device_kind)"],
+            timeout=timeout_s, capture_output=True, text=True,
+        )
+    except subprocess.TimeoutExpired:
+        return (f"backend unreachable: jax.devices() hung >{timeout_s:.0f}s "
+                "(remote TPU tunnel down?)")
+    if r.returncode != 0:
+        return f"backend probe failed: {r.stderr.strip()[-300:]}"
+    return None
+
+
 def main() -> None:
     from ssad_tpu.config import ModelConfig
+
+    err = _probe_backend()
+    if err is not None:
+        print(json.dumps({
+            "metric": "aug_train_images_per_sec_per_chip",
+            "value": None, "unit": "images/sec", "vs_baseline": None,
+            "error": err,
+        }))
+        raise SystemExit(1)
 
     rng = np.random.default_rng(0)
     h = w = 256
