@@ -539,9 +539,17 @@ def cmd_serve(args) -> int:
         args.artifact, args.max_delay_ms, args.max_queue,
         devices=args.devices,
     )
+    # POST /admin/reload re-runs THIS loader: re-reads the same
+    # artifact paths (replaced on disk by a newer export), warms the
+    # programs, and hot-swaps them without dropping traffic
+    reloader = lambda: _load_artifact_models(  # noqa: E731
+        args.artifact, args.max_delay_ms, args.max_queue,
+        devices=args.devices,
+    )
     server, frontend = _make_http_server(
         args.frontend, host=args.host, port=args.port,
         score_timeout=args.score_timeout, models=models,
+        reloader=reloader,
     )
     server.start()
     print(json.dumps({

@@ -202,6 +202,16 @@ class ServingClient:
 
     # -- introspection ---------------------------------------------------
 
+    def reload(self) -> dict:
+        """POST /admin/reload: hot-swap the server's models from their
+        artifact paths (re-exported on disk).  Synchronous — the server
+        answers once the new programs are loaded, warmed and swapped,
+        so size `timeout` for a compile (minutes through a remote
+        tunnel), not a request."""
+        # empty-bytes body (not None) so http.client sends
+        # Content-Length: 0 — the native front end frames strictly
+        return self._json("POST", "/admin/reload", body=b"")
+
     def healthz(self) -> dict:
         return self._json("GET", "/healthz")
 

@@ -113,6 +113,7 @@ class NativeAnomalyHTTPServer:
         ready_timeout: float = 10.0,
         max_queue: int = 1024,
         responders: int = 16,
+        reloader=None,
     ):
         from ssad_tpu.serving.drift import ScoreTracker
 
@@ -139,6 +140,10 @@ class NativeAnomalyHTTPServer:
             name: ScoreTracker(baseline=m.get("calibration"))
             for name, (_, m) in self.models.items()
         }
+        # enables POST /admin/reload — same semantics as the stdlib
+        # front end (server.perform_reload)
+        self._reloader = reloader
+        self._reload_lock = threading.Lock()
         self._lib = lib
         self._handle = lib.nhf_create(host.encode(), int(port),
                                       int(max_queue), 0)
@@ -231,27 +236,35 @@ class NativeAnomalyHTTPServer:
                     self._respond(req_id, 404,
                                   {"error": f"no route {method} {path}"})
                     continue
+                if path == "/admin/reload":
+                    # load+warm+swap can take minutes — run it on the
+                    # responder pool so the poller keeps serving
+                    self._pool.submit(self._reload, req_id)
+                    continue
+                # snapshot: /admin/reload replaces self.models from a
+                # responder thread mid-loop
+                models = self.models
                 if path == "/score":
-                    if len(self.models) > 1:
+                    if len(models) > 1:
                         self._respond(req_id, 400, {
                             "error": "several models are loaded; POST "
                                      "/score/<name>",
-                            "models": sorted(self.models),
+                            "models": sorted(models),
                         })
                         continue
-                    name = next(iter(self.models))
+                    name = next(iter(models))
                 elif path.startswith("/score/"):
                     name = path[len("/score/"):]
-                    if name not in self.models:
+                    if name not in models:
                         self._respond(req_id, 404, {
                             "error": f"no model {name!r}",
-                            "models": sorted(self.models),
+                            "models": sorted(models),
                         })
                         continue
                 else:
                     self._respond(req_id, 404, {"error": f"no route {path}"})
                     continue
-                scorer, meta = self.models[name]
+                scorer, meta = models[name]
                 # copy out of the C++ buffer BEFORE responding frees it
                 body = ctypes.string_at(reqs[i].body, reqs[i].body_len)
                 try:
@@ -260,7 +273,16 @@ class NativeAnomalyHTTPServer:
                     self._respond(req_id, 400, {"error": repr(e)})
                     continue
                 try:
-                    pending = scorer.submit(image)
+                    try:
+                        pending = scorer.submit(image)
+                    except RuntimeError as e:
+                        # the batcher was closed under us by a reload
+                        # that landed between routing and submit — one
+                        # retry against the current models
+                        current = self.models.get(name)
+                        if "scorer is closed" not in str(e) or current is None:
+                            raise
+                        pending = current[0].submit(image)
                 except Overloaded as e:
                     self._respond(req_id, 503, {"error": repr(e)})
                     continue
@@ -277,6 +299,12 @@ class NativeAnomalyHTTPServer:
         code, payload = build_readyz(self.models, self.ready_timeout)
         self._respond(req_id, code, payload)
 
+    def _reload(self, req_id: int):
+        from ssad_tpu.serving.server import perform_reload
+
+        code, payload = perform_reload(self)
+        self._respond(req_id, code, payload)
+
     def _finish(self, req_id, pending, name, meta, heatmap, t0,
                 build_score_payload):
         """Responder-pool side: wait for the batched result, build the
@@ -290,7 +318,9 @@ class NativeAnomalyHTTPServer:
             result = tuple(r[0] for r in pending.result)
             ms = (time.perf_counter() - t0) * 1e3
             payload, primary = build_score_payload(result, meta, heatmap, ms)
-            self.trackers[name].observe(primary)
+            tracker = self.trackers.get(name)  # may be swapped/gone mid-reload
+            if tracker is not None:
+                tracker.observe(primary)
             self._respond(req_id, 200, payload)
         except Exception as e:
             self._respond(req_id, 500, {"error": repr(e)})

@@ -418,6 +418,80 @@ def _prometheus_metrics(models: dict, trackers: Optional[dict] = None) -> str:
 # helpers are the single source of truth for what each route returns.
 
 
+def perform_reload(server) -> Tuple[int, dict]:
+    """POST /admin/reload semantics, shared by both front ends.
+
+    Swaps in freshly loaded (and WARMED — the reloader is
+    `cli serve`'s artifact loader, which compiles before returning)
+    models without dropping traffic: the new batchers are built first,
+    the `models`/`trackers` dicts are replaced atomically (one
+    reference assignment under the GIL), and only then are the old
+    batchers closed.  `BatchingScorer.close` is graceful for work
+    already submitted — the collector drains every queued request
+    before it sees the close sentinel — so in-flight requests finish
+    against the old program.  A request that *races* the swap (fetched
+    the old batcher, submits after close) gets one retry against the
+    current models (see the front ends).
+
+    Returns (status, payload).  404 when no reloader is configured
+    (servers constructed directly from live scorers have nothing to
+    reload from); 409 when a reload is already running; 500 — with the
+    OLD models still serving — when the reloader itself fails.
+
+    Reloads assume unchanged input geometry per model name: requests
+    decoded against the old `imsize` in the swap window would fail
+    against a new geometry (a 400/500 for that request, not a crash).
+    """
+    reloader = getattr(server, "_reloader", None)
+    if reloader is None:
+        return 404, {"error": "no reloader configured (start the server "
+                              "via `cli serve` to enable /admin/reload)"}
+    if not server._reload_lock.acquire(blocking=False):
+        return 409, {"error": "a reload is already in progress"}
+    try:
+        t0 = time.perf_counter()
+        try:
+            new_models, warmup_s = reloader()
+        except Exception as e:
+            return 500, {"error": f"reload failed; previous models still "
+                                  f"serving: {e!r}"}
+        from ssad_tpu.serving.drift import ScoreTracker
+
+        old = server.models
+        server.trackers = {
+            name: ScoreTracker(baseline=m.get("calibration"))
+            for name, (_, m) in new_models.items()
+        }
+        server.models = dict(new_models)
+        if len(new_models) == 1:
+            server.scorer, server.meta = next(iter(new_models.values()))
+        for sc, _ in old.values():
+            sc.close()
+        return 200, {
+            "reloaded": sorted(new_models),
+            "warmup_s": round(warmup_s, 2),
+            "total_s": round(time.perf_counter() - t0, 2),
+        }
+    finally:
+        server._reload_lock.release()
+
+
+def score_with_reload_retry(server, name: str, scorer, image, timeout: float):
+    """`scorer.score` with ONE retry against the server's current
+    models when the batcher was closed under us by /admin/reload (the
+    request fetched the old batcher, the swap landed, close() beat the
+    submit).  Shared by both front ends."""
+    try:
+        return scorer.score(image, timeout=timeout)
+    except RuntimeError as e:
+        if "scorer is closed" not in str(e):
+            raise
+        current = server.models.get(name)
+        if current is None:
+            raise
+        return current[0].score(image, timeout=timeout)
+
+
 def build_healthz(models: dict, meta: Optional[dict]) -> dict:
     if len(models) > 1:
         return {"ok": True, "models": {
@@ -505,11 +579,16 @@ class AnomalyHTTPServer:
         score_timeout: float = 60.0,
         models: Optional[dict] = None,
         ready_timeout: float = 10.0,
+        reloader: Optional[Callable[[], Tuple[dict, float]]] = None,
     ):
         if models is None:
             if scorer is None or meta is None:
                 raise ValueError("pass (scorer, meta) or models={name: (scorer, meta)}")
             models = {meta.get("subject") or "default": (scorer, meta)}
+        #: () -> ({name: (BatchingScorer, meta)}, warmup_s) — enables
+        #: POST /admin/reload (hot artifact swap, perform_reload above)
+        self._reloader = reloader
+        self._reload_lock = threading.Lock()
         self.models = dict(models)
         if scorer is None and len(self.models) == 1:
             scorer, meta = next(iter(self.models.values()))
@@ -610,25 +689,38 @@ class AnomalyHTTPServer:
                 # (the client sees a reset instead of the status)
                 length = int(self.headers.get("Content-Length", "0"))
                 body = self.rfile.read(length)
+                if path == "/admin/reload":
+                    # synchronous: the response arrives once the new
+                    # programs are loaded, warmed, swapped in and the
+                    # old batchers drained — size client timeouts for a
+                    # compile (minutes through a remote tunnel)
+                    code, payload = perform_reload(outer)
+                    self._json(code, payload)
+                    return
+                # snapshot: /admin/reload replaces outer.models mid-
+                # flight; one local reference keeps this request's
+                # routing, scoring and drift bookkeeping consistent
+                models = outer.models
+                trackers = outer.trackers
                 if path == "/score":
-                    if len(outer.models) > 1:
+                    if len(models) > 1:
                         self._json(400, {
                             "error": "several models are loaded; POST "
                                      "/score/<name>",
-                            "models": sorted(outer.models),
+                            "models": sorted(models),
                         })
                         return
-                    name = next(iter(outer.models))
-                    scorer, meta = outer.scorer, outer.meta
+                    name = next(iter(models))
+                    scorer, meta = models[name]
                 elif path.startswith("/score/"):
                     name = path[len("/score/"):]
-                    if name not in outer.models:
+                    if name not in models:
                         self._json(404, {
                             "error": f"no model {name!r}",
-                            "models": sorted(outer.models),
+                            "models": sorted(models),
                         })
                         return
-                    scorer, meta = outer.models[name]
+                    scorer, meta = models[name]
                 else:
                     self._json(404, {"error": f"no route {path}"})
                     return
@@ -644,8 +736,9 @@ class AnomalyHTTPServer:
                     return
                 try:
                     t0 = time.perf_counter()
-                    result = scorer.score(
-                        image, timeout=outer.score_timeout
+                    result = score_with_reload_retry(
+                        outer, name, scorer, image,
+                        timeout=outer.score_timeout,
                     )
                     ms = (time.perf_counter() - t0) * 1e3
                     payload, primary = build_score_payload(
@@ -653,7 +746,7 @@ class AnomalyHTTPServer:
                     )
                     # feed the drift tracker the same scalar the client
                     # sees: the anomaly score (image) / map max (patch)
-                    outer.trackers[name].observe(primary)
+                    trackers[name].observe(primary)
                     self._json(200, payload)
                 except Overloaded as e:
                     self._json(503, {"error": repr(e)})
