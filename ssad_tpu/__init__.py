@@ -26,6 +26,15 @@ Package map (see SURVEY.md for the reference component inventory):
 
 __version__ = "0.1.0"
 
-from ssad_tpu import config, constants
-
 __all__ = ["config", "constants", "__version__"]
+
+
+def __getattr__(name: str):
+    # lazy (PEP 562): constants registers a jax pytree at import time,
+    # and an eager import here would force jax onto hosts that only
+    # need the stdlib serving thin client (serving/client.py)
+    if name in ("config", "constants"):
+        import importlib
+
+        return importlib.import_module(f"ssad_tpu.{name}")
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -434,7 +434,10 @@ def cmd_export(args) -> int:
         }
         if args.dtype:
             # quantized export: drift vs a float export of the SAME
-            # config (same normality fit, same threshold calibration)
+            # config.  Identical seed → identical normality fit and
+            # threshold calibration, so the comparison isolates the
+            # quantization (at the cost of re-running the export —
+            # acceptable for an explicit --validate pass).
             ref_path = export_checkpoint(
                 ckpt, str(Path(out).with_suffix(".float_ref.ssadexp")),
                 mode=args.mode, batch=args.batch,
@@ -446,15 +449,20 @@ def cmd_export(args) -> int:
                 dtype=None, scorer=args.scorer, seed=args.seed,
                 coreset=args.coreset,
             )
-            ref = tuple(np.asarray(r) for r in load_scorer(ref_path)(x))
-            validation["max_abs_score_drift"] = float(
-                np.max(np.abs(res[0].astype(np.float64) - ref[0]))
-            )
-            if args.mode == "image":
-                validation["label_agreement"] = float(
-                    np.mean(res[1] == ref[1])
+            try:
+                ref = tuple(np.asarray(r) for r in load_scorer(ref_path)(x))
+                validation["max_abs_score_drift"] = float(
+                    np.max(np.abs(res[0].astype(np.float64) - ref[0]))
                 )
-            Path(ref_path).unlink()
+                if args.mode == "image":
+                    validation["label_agreement"] = float(
+                        np.mean(res[1] == ref[1])
+                    )
+            finally:
+                # the multi-MB float reference is a comparison scratch
+                # artifact — never leave it beside the real export,
+                # even when scoring it fails
+                Path(ref_path).unlink(missing_ok=True)
 
     print(json.dumps({
         "artifact": path,
@@ -815,6 +823,11 @@ def _score_remote(args) -> int:
             raise SystemExit(
                 f"server hosts several models ({sorted(health['models'])}); "
                 "pass --model"
+            )
+        if args.model not in health["models"]:
+            raise SystemExit(
+                f"server does not host model {args.model!r}; available: "
+                f"{sorted(health['models'])}"
             )
         mode = health["models"][args.model]
     else:

@@ -428,6 +428,21 @@ void io_loop(Server* s) {
             s->bytes_in.fetch_add(got);
             if (c->rbuf.size() > static_cast<size_t>(s->max_body) +
                                      kMaxHeaderBytes) {
+              if (c->waiting_response) {
+                // A response is still owed on this connection: a 413
+                // written now would be attributed to the in-flight
+                // request and its real response dropped, breaking the
+                // HTTP/1.1 ordering contract.  Pause reading instead
+                // (bounds rbuf); conn_send re-arms EPOLLIN when the
+                // pending response is written, and parse_requests then
+                // rejects the oversized pipelined request in order via
+                // the Content-Length / header-size checks.
+                epoll_event ev{};
+                ev.events = c->want_write ? EPOLLOUT : 0;
+                ev.data.fd = fd;
+                epoll_ctl(s->epoll_fd, EPOLL_CTL_MOD, fd, &ev);
+                break;
+              }
               conn_error_response(s, c, 413, "body too large");
               break;
             }

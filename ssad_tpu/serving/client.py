@@ -116,14 +116,22 @@ class ServingClient:
     def _request(self, method: str, path: str, body: Optional[bytes] = None):
         """(status, body bytes) with one transparent reconnect: a
         keep-alive connection the server closed between requests
-        surfaces as a broken pipe / empty response on the NEXT use."""
+        surfaces as a broken pipe / reset / BadStatusLine on the NEXT
+        use.  Timeouts are NOT retried — a timed-out POST may have
+        reached the server (re-sending /score double-scores the image
+        and double-counts drift; re-sending /admin/reload races the
+        caller's own in-flight reload into a spurious 409)."""
         for attempt in (0, 1):
             conn = self._connection()
             try:
                 conn.request(method, path, body=body)
                 resp = conn.getresponse()
                 return resp.status, resp.read()
-            except (http.client.HTTPException, ConnectionError, BrokenPipeError, OSError):
+            except TimeoutError:
+                conn.close()
+                self._local.conn = None
+                raise
+            except (http.client.HTTPException, ConnectionError):
                 conn.close()
                 self._local.conn = None
                 if attempt:

@@ -498,7 +498,17 @@ def _calibration_summary(engine, det, mode, scorer, data, imsize,
     images = images[:max_images]
     maxima = []
     for lo in range(0, images.shape[0], 4):
-        xn = jax.vmap(im.normalize_imagenet)(jnp.asarray(images[lo : lo + 4]))
+        chunk = images[lo : lo + 4]
+        n_real = chunk.shape[0]
+        if n_real < 4:
+            # pad the ragged final chunk to the same batch shape: a
+            # second batch size would compile a second engine program —
+            # 20 s–minutes through the remote tunnel (CLAUDE.md) for one
+            # throwaway calibration pass
+            chunk = np.concatenate(
+                [chunk, np.repeat(chunk[-1:], 4 - n_real, axis=0)]
+            )
+        xn = jax.vmap(im.normalize_imagenet)(jnp.asarray(chunk))
         if scorer == "mahalanobis":
             maps = engine.score_patch_maps_mahalanobis(
                 xn, det.mean, det.precision, dim=patch_dim, stride=stride,
@@ -509,7 +519,7 @@ def _calibration_summary(engine, det, mode, scorer, data, imsize,
                 xn, det.bank, dim=patch_dim, stride=stride, k=k,
                 upsample_to=upsample_to,
             )
-        maxima.extend(np.asarray(maps).max(axis=(1, 2)).tolist())
+        maxima.extend(np.asarray(maps).max(axis=(1, 2))[:n_real].tolist())
     summary = quantile_summary(maxima)
     summary["source"] = f"val-image-map-max-{scorer}"
     return summary

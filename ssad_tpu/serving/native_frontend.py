@@ -190,11 +190,6 @@ class NativeAnomalyHTTPServer:
         self._lib.nhf_respond(self._handle, req_id, code, body, len(body))
 
     def _poll_loop(self):
-        from ssad_tpu.serving.server import (
-            Overloaded, _decode_image, build_healthz, build_readyz,
-            build_score_payload, build_stats, want_heatmap,
-        )
-
         reqs = (_NhfReq * 64)()
         while True:
             n = self._lib.nhf_poll(self._handle, reqs, 64, 200)
@@ -202,98 +197,119 @@ class NativeAnomalyHTTPServer:
                 return
             for i in range(n):
                 req_id = reqs[i].id
-                method = reqs[i].method.decode("latin-1")
-                full_path = reqs[i].path.decode("latin-1")
-                path, _, query = full_path.partition("?")
-                if method == "GET":
-                    if path == "/healthz":
-                        self._respond(req_id, 200,
-                                      build_healthz(self.models, self.meta))
-                    elif path == "/stats":
-                        self._respond(req_id, 200,
-                                      build_stats(self.models, self.trackers))
-                    elif path == "/metrics":
-                        from ssad_tpu.serving.server import _prometheus_metrics
-
-                        text = _prometheus_metrics(self.models, self.trackers)
-                        body = text.encode("utf-8")
-                        # /metrics is text/plain; the C++ side only
-                        # writes application/json — acceptable to every
-                        # Prometheus scraper (it keys on the body), and
-                        # not worth a second content type in the ABI
-                        self._lib.nhf_respond(self._handle, req_id, 200,
-                                              body, len(body))
-                    elif path == "/readyz":
-                        # the probe scores through every batcher — run
-                        # it OFF the poller thread so live traffic
-                        # keeps flowing during the probe
-                        self._pool.submit(self._readyz, req_id, build_readyz)
-                    else:
-                        self._respond(req_id, 404,
-                                      {"error": f"no route {path}"})
-                    continue
-                if method != "POST":
-                    self._respond(req_id, 404,
-                                  {"error": f"no route {method} {path}"})
-                    continue
-                if path == "/admin/reload":
-                    # load+warm+swap can take minutes — run it on the
-                    # responder pool so the poller keeps serving
-                    self._pool.submit(self._reload, req_id)
-                    continue
-                # snapshot: /admin/reload replaces self.models from a
-                # responder thread mid-loop
-                models = self.models
-                if path == "/score":
-                    if len(models) > 1:
-                        self._respond(req_id, 400, {
-                            "error": "several models are loaded; POST "
-                                     "/score/<name>",
-                            "models": sorted(models),
-                        })
-                        continue
-                    name = next(iter(models))
-                elif path.startswith("/score/"):
-                    name = path[len("/score/"):]
-                    if name not in models:
-                        self._respond(req_id, 404, {
-                            "error": f"no model {name!r}",
-                            "models": sorted(models),
-                        })
-                        continue
-                else:
-                    self._respond(req_id, 404, {"error": f"no route {path}"})
-                    continue
-                scorer, meta = models[name]
-                # copy out of the C++ buffer BEFORE responding frees it
-                body = ctypes.string_at(reqs[i].body, reqs[i].body_len)
                 try:
-                    image = _decode_image(body, tuple(meta["imsize"]))
+                    self._handle_one(reqs[i], req_id)
                 except Exception as e:
-                    self._respond(req_id, 400, {"error": repr(e)})
-                    continue
-                try:
+                    # the per-request guard for the SOLE poller thread:
+                    # an uncaught exception here (e.g. a GET helper
+                    # racing /admin/reload) would kill the loop and
+                    # leave the C++ transport accepting connections
+                    # that are never answered — process alive, server
+                    # dark.  The stdlib front end gets this isolation
+                    # for free from its thread-per-request model.
                     try:
-                        pending = scorer.submit(image)
-                    except RuntimeError as e:
-                        # the batcher was closed under us by a reload
-                        # that landed between routing and submit — one
-                        # retry against the current models
-                        current = self.models.get(name)
-                        if "scorer is closed" not in str(e) or current is None:
-                            raise
-                        pending = current[0].submit(image)
-                except Overloaded as e:
-                    self._respond(req_id, 503, {"error": repr(e)})
-                    continue
-                except Exception as e:
-                    self._respond(req_id, 500, {"error": repr(e)})
-                    continue
-                self._pool.submit(
-                    self._finish, req_id, pending, name, meta,
-                    want_heatmap(query), time.perf_counter(),
-                    build_score_payload,
-                )
+                        self._respond(req_id, 500, {"error": repr(e)})
+                    except Exception:
+                        pass
+
+    def _handle_one(self, req, req_id: int):
+        from ssad_tpu.serving.server import (
+            Overloaded, _decode_image, build_healthz, build_readyz,
+            build_score_payload, build_stats, want_heatmap,
+        )
+
+        method = req.method.decode("latin-1")
+        full_path = req.path.decode("latin-1")
+        path, _, query = full_path.partition("?")
+        if method == "GET":
+            if path == "/healthz":
+                self._respond(req_id, 200,
+                              build_healthz(self.models, self.meta))
+            elif path == "/stats":
+                self._respond(req_id, 200,
+                              build_stats(self.models, self.trackers))
+            elif path == "/metrics":
+                from ssad_tpu.serving.server import _prometheus_metrics
+
+                text = _prometheus_metrics(self.models, self.trackers)
+                body = text.encode("utf-8")
+                # /metrics is text/plain; the C++ side only
+                # writes application/json — acceptable to every
+                # Prometheus scraper (it keys on the body), and
+                # not worth a second content type in the ABI
+                self._lib.nhf_respond(self._handle, req_id, 200,
+                                      body, len(body))
+            elif path == "/readyz":
+                # the probe scores through every batcher — run
+                # it OFF the poller thread so live traffic
+                # keeps flowing during the probe
+                self._pool.submit(self._readyz, req_id, build_readyz)
+            else:
+                self._respond(req_id, 404,
+                              {"error": f"no route {path}"})
+            return
+        if method != "POST":
+            self._respond(req_id, 404,
+                          {"error": f"no route {method} {path}"})
+            return
+        if path == "/admin/reload":
+            # load+warm+swap can take minutes — run it on the
+            # responder pool so the poller keeps serving
+            self._pool.submit(self._reload, req_id)
+            return
+        # snapshot: /admin/reload replaces self.models from a
+        # responder thread mid-loop
+        models = self.models
+        if path == "/score":
+            if len(models) > 1:
+                self._respond(req_id, 400, {
+                    "error": "several models are loaded; POST "
+                             "/score/<name>",
+                    "models": sorted(models),
+                })
+                return
+            name = next(iter(models))
+        elif path.startswith("/score/"):
+            name = path[len("/score/"):]
+            if name not in models:
+                self._respond(req_id, 404, {
+                    "error": f"no model {name!r}",
+                    "models": sorted(models),
+                })
+                return
+        else:
+            self._respond(req_id, 404, {"error": f"no route {path}"})
+            return
+        scorer, meta = models[name]
+        # copy out of the C++ buffer BEFORE responding frees it
+        body = ctypes.string_at(req.body, req.body_len)
+        try:
+            image = _decode_image(body, tuple(meta["imsize"]))
+        except Exception as e:
+            self._respond(req_id, 400, {"error": repr(e)})
+            return
+        try:
+            try:
+                pending = scorer.submit(image)
+            except RuntimeError as e:
+                # the batcher was closed under us by a reload
+                # that landed between routing and submit — one
+                # retry against the current models
+                current = self.models.get(name)
+                if "scorer is closed" not in str(e) or current is None:
+                    raise
+                pending = current[0].submit(image)
+        except Overloaded as e:
+            self._respond(req_id, 503, {"error": repr(e)})
+            return
+        except Exception as e:
+            self._respond(req_id, 500, {"error": repr(e)})
+            return
+        self._pool.submit(
+            self._finish, req_id, pending, name, meta,
+            want_heatmap(query), time.perf_counter(),
+            build_score_payload,
+        )
 
     def _readyz(self, req_id: int, build_readyz):
         code, payload = build_readyz(self.models, self.ready_timeout)

@@ -106,6 +106,9 @@ class BatchingScorer:
         self._n_batches = 0
         self._runner_batches = [0] * len(fns)
         self._closed = False
+        #: how long close() waits for the collector before concluding
+        #: it is wedged in a scorer call (tests shrink this)
+        self._join_s = 10.0
         if len(fns) > 1:
             self._run_queue: Optional["queue.Queue"] = queue.Queue(maxsize=len(fns))
             self._runners = [
@@ -174,9 +177,19 @@ class BatchingScorer:
         if not self._closed:
             self._closed = True
             self._queue.put(None)
-            self._thread.join(timeout=10)
+            self._thread.join(timeout=self._join_s)
+            if self._thread.is_alive():
+                # the collector is stuck in a long scorer call (the
+                # tunneled TPU can stall for minutes) and has NOT seen
+                # the sentinel yet — draining the queue here could eat
+                # that sentinel and strand the collector (and, with
+                # replicas, every runner thread) forever.  Leave the
+                # queue alone: when the collector unblocks it consumes
+                # the sentinel, stops the runners and cancels whatever
+                # is still pending itself (_loop).
+                return
             for t in self._runners:
-                t.join(timeout=10)
+                t.join(timeout=self._join_s)
             # requests that raced past the _closed check in submit() may
             # sit behind the sentinel — fail them fast instead of
             # leaving their callers to block out the full score timeout
@@ -348,9 +361,15 @@ def _prometheus_metrics(models: dict, trackers: Optional[dict] = None) -> str:
     stats = {name: sc.stats() for name, (sc, _) in sorted(models.items())}
     if trackers:
         for name, st in stats.items():
-            st.update(
-                ("score_" + k, v) for k, v in trackers[name].stats().items()
-            )
+            # .get: `models` and `trackers` are snapshotted as two
+            # separate reads while /admin/reload swaps both — a torn
+            # read across a name change must degrade to "no score
+            # families for that model", not a KeyError mid-scrape
+            tracker = trackers.get(name)
+            if tracker is not None:
+                st.update(
+                    ("score_" + k, v) for k, v in tracker.stats().items()
+                )
 
     # the exposition format requires each metric family to be ONE
     # uninterrupted group (HELP/TYPE first, then every sample) — strict
@@ -516,14 +535,22 @@ def build_readyz(models: dict, ready_timeout: float) -> Tuple[int, dict]:
 
 
 def build_stats(models: dict, trackers: dict) -> dict:
+    # .get: the two dicts are snapshotted separately while a reload
+    # swaps both; a torn read across a model-name change yields empty
+    # score stats for that model rather than a KeyError that (on the
+    # native front end) would kill the sole poller thread
+    def scores(name: str) -> dict:
+        tracker = trackers.get(name)
+        return tracker.stats() if tracker is not None else {}
+
     if len(models) > 1:
         return {
-            name: {**sc.stats(), "scores": trackers[name].stats()}
+            name: {**sc.stats(), "scores": scores(name)}
             for name, (sc, _) in models.items()
         }
     name = next(iter(models))
     sc, _ = models[name]
-    return {**sc.stats(), "scores": trackers[name].stats()}
+    return {**sc.stats(), "scores": scores(name)}
 
 
 def build_score_payload(
@@ -745,8 +772,14 @@ class AnomalyHTTPServer:
                         result, meta, want_heatmap(query), ms
                     )
                     # feed the drift tracker the same scalar the client
-                    # sees: the anomaly score (image) / map max (patch)
-                    trackers[name].observe(primary)
+                    # sees: the anomaly score (image) / map max (patch).
+                    # .get: the models/trackers snapshots above are two
+                    # reads a concurrent reload can tear — losing one
+                    # drift observation is fine, a KeyError 500 for a
+                    # request that scored is not
+                    tracker = trackers.get(name)
+                    if tracker is not None:
+                        tracker.observe(primary)
                     self._json(200, payload)
                 except Overloaded as e:
                     self._json(503, {"error": repr(e)})

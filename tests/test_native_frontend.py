@@ -386,3 +386,78 @@ class TestProtocol:
             assert st["drift_alert"] is True
         finally:
             srv.stop()
+
+
+class TestPollerResilience:
+    def test_poller_survives_handler_exception(self, native_server,
+                                               monkeypatch):
+        """An exception inside a route helper (e.g. a GET racing a
+        reload) must 500 that ONE request and leave the sole poller
+        thread alive — a dead poller means the C++ transport keeps
+        accepting connections that are never answered."""
+        import ssad_tpu.serving.server as server_mod
+
+        def boom(models, trackers):
+            raise KeyError("torn reload snapshot")
+
+        monkeypatch.setattr(server_mod, "build_stats", boom)
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _get(native_server.port, "/stats")
+        assert ei.value.code == 500
+        monkeypatch.undo()
+        # the poller must still answer — on both old and new requests
+        assert _get(native_server.port, "/healthz")["ok"] is True
+        assert "requests" in _get(native_server.port, "/stats")
+
+    def test_overflow_while_inflight_preserves_ordering(self):
+        """An oversized pipelined request arriving while a response is
+        still owed must not jump the queue: the in-flight request's 200
+        comes first, the 413 after (HTTP/1.1 ordering)."""
+        from ssad_tpu.serving.native_frontend import NativeAnomalyHTTPServer
+
+        def slow_sum(x):
+            time.sleep(0.5)
+            return _sum_scorer(x)
+
+        sc = BatchingScorer(slow_sum, batch=1, max_delay_ms=1.0)
+        srv = NativeAnomalyHTTPServer(
+            sc, {"mode": "image", "imsize": [8, 8], "threshold": 100.0},
+            port=0,
+        )
+        # shrink max_body via the C ABI create param (same trick as
+        # test_oversized_body_is_413): overflow = 1024 + 16K header room
+        srv._lib.nhf_destroy(srv._handle)
+        srv._handle = srv._lib.nhf_create(b"127.0.0.1", 0, 1024, 1024)
+        srv.start()
+        try:
+            body_a = _npy(np.full((8, 8, 3), 1.0, np.float32))
+            req_a = (
+                f"POST /score HTTP/1.1\r\nHost: x\r\n"
+                f"Content-Length: {len(body_a)}\r\n\r\n"
+            ).encode() + body_a
+            req_b = (
+                b"POST /score HTTP/1.1\r\nHost: x\r\n"
+                b"Content-Length: 999999\r\n\r\n" + b"x" * 30000
+            )
+            s = socket.create_connection(("127.0.0.1", srv.port), timeout=10)
+            s.sendall(req_a)
+            time.sleep(0.1)  # A is parsed and in flight (slow scorer)
+            s.sendall(req_b)  # rbuf blows past max_body while waiting
+            s.settimeout(10)
+            out = b""
+            try:
+                while True:
+                    got = s.recv(65536)
+                    if not got:
+                        break
+                    out += got
+            except socket.timeout:
+                pass
+            s.close()
+            first, _, rest = out.partition(b"\r\n\r\n")
+            assert first.startswith(b"HTTP/1.1 200"), out[:200]
+            assert b'"score"' in rest
+            assert b"HTTP/1.1 413" in rest  # after A's response
+            assert out.find(b"200 OK") < out.find(b"413")
+        finally:
+            srv.stop()

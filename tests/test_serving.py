@@ -15,6 +15,7 @@ InferenceEngine on a tiny model.
 import io
 import json
 import threading
+import time
 import urllib.request
 
 import numpy as np
@@ -1658,3 +1659,124 @@ class TestCliScoreRemote:
 
         with pytest.raises(SystemExit, match="exactly one"):
             main(["score", str(tmp_path), "--out", str(tmp_path / "o")])
+
+
+# ---------------------------------------------------------------------------
+# Reload-race hardening (review findings: torn snapshots, wedged close,
+# timeout re-submission)
+# ---------------------------------------------------------------------------
+
+
+class TestReloadRaceHardening:
+    def test_close_with_wedged_collector_leaves_sentinel(self):
+        """close() while the collector is stuck inside a long scorer
+        call (tunneled-TPU stall) must NOT drain the queue — that could
+        eat the shutdown sentinel and strand the collector (and leak
+        its replicas) forever.  The collector finishes shutdown itself
+        once it unblocks."""
+        from ssad_tpu.serving.server import BatchingScorer, _Request
+
+        gate = threading.Event()
+
+        def stuck(x):
+            gate.wait(timeout=30)
+            return (x.reshape(x.shape[0], -1).sum(axis=1),)
+
+        sc = BatchingScorer(stuck, batch=1, max_delay_ms=1.0)
+        sc._join_s = 0.2
+        try:
+            pending = sc.submit(np.zeros((2, 2, 3), np.float32))
+            time.sleep(0.1)  # let the collector enter the scorer call
+            sc.close()  # join times out; collector still wedged
+            assert sc._thread.is_alive()
+            # a request that raced past submit()'s closed check sits
+            # behind the sentinel; the collector must cancel it later
+            straggler = _Request(np.zeros((2, 2, 3), np.float32))
+            sc._queue.put(straggler)
+        finally:
+            gate.set()
+        sc._thread.join(timeout=10)
+        assert not sc._thread.is_alive()  # sentinel was NOT consumed
+        assert pending.event.wait(5) and pending.error is None
+        assert straggler.event.wait(5)
+        assert isinstance(straggler.error, RuntimeError)
+
+    def test_build_stats_tolerates_torn_tracker_snapshot(self):
+        """/admin/reload swaps `models` and `trackers` as two separate
+        assignments; a reader that catches the torn state (new models,
+        old trackers) must degrade to empty score stats, not KeyError —
+        on the native front end that exception would kill the sole
+        poller thread."""
+        from ssad_tpu.serving.server import (
+            BatchingScorer, _prometheus_metrics, build_stats,
+        )
+
+        sc = BatchingScorer(_sum_scorer, batch=2, max_delay_ms=1.0)
+        try:
+            models = {"renamed": (sc, {"mode": "image", "imsize": [8, 8]})}
+            stale_trackers = {}  # tracker for "renamed" not swapped in yet
+            stats = build_stats(models, stale_trackers)
+            assert stats["scores"] == {}
+            text = _prometheus_metrics(models, stale_trackers)
+            assert 'ssad_requests_total{model="renamed"}' in text
+            # multi-model shape too
+            stats = build_stats(
+                {**models, "other": models["renamed"]}, stale_trackers
+            )
+            assert stats["renamed"]["scores"] == {}
+        finally:
+            sc.close()
+
+    def test_scoring_with_missing_tracker_still_200(self):
+        """A /score that resolves its model from one generation and the
+        tracker dict from the next must still answer 200 — only the
+        drift observation is dropped."""
+        from ssad_tpu.serving.server import AnomalyHTTPServer, BatchingScorer
+
+        sc = BatchingScorer(_sum_scorer, batch=2, max_delay_ms=2.0)
+        srv = AnomalyHTTPServer(
+            sc, {"mode": "image", "imsize": [8, 8], "threshold": 100.0},
+            port=0,
+        ).start()
+        try:
+            srv.trackers = {}  # simulate the torn mid-reload window
+            buf = io.BytesIO()
+            np.save(buf, np.full((8, 8, 3), 0.5, np.float32))
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{srv.port}/score", data=buf.getvalue(),
+                method="POST",
+            )
+            with urllib.request.urlopen(req, timeout=30) as r:
+                assert r.status == 200
+                assert "score" in json.loads(r.read().decode())
+        finally:
+            srv.stop()
+
+    def test_client_timeout_is_not_resubmitted(self):
+        """A POST that times out client-side may have reached the
+        server — the transparent-reconnect retry must NOT re-send it
+        (double-scoring, drift double-counts; for /admin/reload a
+        spurious 409 against the caller's own reload)."""
+        from ssad_tpu.serving.client import ServingClient
+        from ssad_tpu.serving.server import AnomalyHTTPServer, BatchingScorer
+
+        def slow(x):
+            time.sleep(1.0)
+            return (x.reshape(x.shape[0], -1).sum(axis=1),
+                    np.zeros(x.shape[0], np.int32))
+
+        sc = BatchingScorer(slow, batch=1, max_delay_ms=1.0)
+        srv = AnomalyHTTPServer(
+            sc, {"mode": "image", "imsize": [4, 4], "threshold": 1.0},
+            port=0,
+        ).start()
+        try:
+            client = ServingClient(
+                f"http://127.0.0.1:{srv.port}", timeout=0.25, retries=3
+            )
+            with pytest.raises(TimeoutError):
+                client.score(np.zeros((4, 4, 3), np.float32))
+            time.sleep(1.5)  # let any (wrong) re-submission get scored
+            assert sc.stats()["requests"] == 1
+        finally:
+            srv.stop()
