@@ -149,18 +149,33 @@ def force_impl(impl):
         _IMPL_OVERRIDE = prev
 
 
+#: the Pallas kernel keeps the WHOLE bank VMEM-resident — its design
+#: envelope is the product's ≤1000-row ring bank (2 MB f32 padded to
+#: 1024×512).  Larger normality sets (multi-image patch banks,
+#: --coreset > 1024) must take the XLA matmul path: embedded in an
+#: outer jitted program, a VMEM-overflowing bank only fails at Mosaic
+#: compile time, where the try/except below — which guards TRACING —
+#: cannot catch it, and the whole scoring program dies.  The guard is a
+#: static shape check, so it composes with outer jits.
+PALLAS_MAX_BANK_ROWS = 1024
+
+
 def knn_cosine_scores(queries: jax.Array, bank: jax.Array, k: int = 3) -> jax.Array:
     """Dispatch to the Pallas kernel on TPU, XLA elsewhere.
 
     ``SSAD_FORCE_PALLAS=1`` (read at module import — see above) makes a
     kernel failure fatal (so TPU tests can assert the kernel path
     actually executes); otherwise a broken kernel warns once and
-    degrades to the XLA implementation.
+    degrades to the XLA implementation.  Banks beyond the kernel's
+    VMEM envelope (PALLAS_MAX_BANK_ROWS) always take the XLA path —
+    there one big MXU matmul is the right program anyway.
     """
     if _IMPL_OVERRIDE == "xla":
         return knn_cosine_scores_xla(queries, bank, k=k)
     if _IMPL_OVERRIDE == "pallas":
         return knn_cosine_scores_pallas(queries, bank, k=k)
+    if bank.shape[0] > PALLAS_MAX_BANK_ROWS:
+        return knn_cosine_scores_xla(queries, bank, k=k)
     force = _FORCE_PALLAS
     if force or jax.default_backend() == "tpu":
         try:

@@ -210,6 +210,31 @@ class TestKnn:
         ref = np.asarray(knn.knn_cosine_scores_xla(q, bank, k=3))
         np.testing.assert_allclose(out, ref, atol=1e-6)
 
+    def test_oversized_bank_dispatches_to_xla(self, rng, monkeypatch):
+        """Banks beyond the kernel's VMEM envelope must take the XLA
+        path even on TPU: a 35k-row bank (evaluate --n-normality-images
+        50 without --coreset) overflows VMEM, and inside the outer
+        jitted scoring program that failure lands at Mosaic compile
+        time where the dispatch's try/except cannot catch it."""
+        def boom(*a, **kw):  # the kernel must not even be traced
+            raise AssertionError("pallas path taken for oversized bank")
+
+        monkeypatch.setattr(knn, "knn_cosine_scores_pallas", boom)
+        monkeypatch.setattr(knn.jax, "default_backend", lambda: "tpu")
+        big = jnp.asarray(
+            rng.random((knn.PALLAS_MAX_BANK_ROWS + 1, 8), dtype=np.float32)
+        )
+        q = jnp.asarray(rng.random((4, 8), dtype=np.float32))
+        out = np.asarray(knn.knn_cosine_scores(q, big, k=3))
+        ref = np.asarray(knn.knn_cosine_scores_xla(q, big, k=3))
+        np.testing.assert_allclose(out, ref, atol=1e-6)
+        # within the envelope the (fake) TPU dispatch still tries pallas
+        # (forced, so the sentinel failure is not swallowed by fallback)
+        monkeypatch.setattr(knn, "_FORCE_PALLAS", True)
+        small = big[: knn.PALLAS_MAX_BANK_ROWS]
+        with pytest.raises(AssertionError, match="pallas path taken"):
+            knn.knn_cosine_scores(q, small, k=3)
+
 
 class TestShear:
     """The two-level (coarse+fine, padded) shear must be bit-identical
