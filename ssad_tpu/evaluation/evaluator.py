@@ -259,7 +259,8 @@ def evaluate_category(
             engine, bank, data, batch_size=cfg.batch_size
         )
         outputs, detector = inf.attach_anomaly_scores(
-            outputs, normality, k=cfg.knn_k, seed=cfg.seed, scorer=cfg.scorer
+            outputs, normality, k=cfg.knn_k, seed=cfg.seed, scorer=cfg.scorer,
+            coreset=cfg.coreset,
         )
         labels = np.asarray(outputs.y_true_binary)
         scores = np.asarray(outputs.anomaly_maps)
@@ -315,8 +316,12 @@ def evaluate_category(
         bs = max(1, min(8, cfg.batch_size))
         cam_list = []
         for lo in range(0, n_test, bs):
-            x = jnp.asarray(outputs.tensor_data[lo : lo + bs])
-            cam_list.append(gradcam(x, jnp.asarray(y_hat[lo : lo + bs])))
+            # ragged final chunk padded to bs: a second static shape
+            # would recompile the jitted Grad-CAM program (minutes
+            # through the remote compile tunnel)
+            x, b = inf.pad_to_batch(jnp.asarray(outputs.tensor_data[lo : lo + bs]), bs)
+            yh, _ = inf.pad_to_batch(jnp.asarray(y_hat[lo : lo + bs]), bs)
+            cam_list.append(gradcam(x, yh)[:b])
         cam_maps = np.concatenate([np.asarray(c) for c in cam_list], axis=0)
         gts = np.asarray(outputs.ground_truths)
         flat_gt = gts.ravel() > 0
@@ -377,7 +382,10 @@ def evaluate_category(
         n = test_data.images.shape[0]
         bs = max(1, min(8, cfg.batch_size))
         for lo in range(0, n, bs):
-            raw = jnp.asarray(test_data.images[lo : lo + bs])
+            # ragged final chunk padded to bs: a smaller trailing batch
+            # is a new static shape — a full second compile of the
+            # fused scoring program for a few leftover images
+            raw, b = inf.pad_to_batch(jnp.asarray(test_data.images[lo : lo + bs]), bs)
             x = jax.vmap(im.normalize_imagenet)(raw)
             # fused extract→embed→score→blur→upsample, one program; keep
             # results on device so batches pipeline through the queue
@@ -392,7 +400,7 @@ def evaluate_category(
                     x, detector.bank, dim=cfg.patch_dim, stride=cfg.stride,
                     k=cfg.knn_k, upsample_to=cfg.upsample_size,
                 )
-            maps_list.append(maps)
+            maps_list.append(maps[:b])
         anomaly_maps = np.concatenate([np.asarray(m) for m in maps_list], axis=0)
         gts = np.asarray(test_data.ground_truths)
 

@@ -194,6 +194,20 @@ class InferenceEngine:
         )
 
 
+def pad_to_batch(x: jax.Array, batch_size: int):
+    """Zero-pad the leading axis up to `batch_size`; returns (padded,
+    n_real).  Every inference loop pads its ragged FINAL chunk with
+    this before entering a jitted program: a smaller trailing batch is
+    a new static shape, i.e. a full second compile of the fused program
+    — 20 s–minutes through the remote compile tunnel (CLAUDE.md) for a
+    few leftover rows.  Callers slice outputs back to n_real."""
+    n = x.shape[0]
+    if n >= batch_size:
+        return x, n
+    pad = batch_size - n
+    return jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)]), n
+
+
 def predict_mvtec(
     engine: InferenceEngine,
     data: mvtec.MVTecTestData,
@@ -216,10 +230,13 @@ def predict_mvtec(
         out.ground_truths = gts
         out.y_true_binary = convert.gt2label(gts)
         out.y_true_multiclass = convert.gt2label(gts, negative=-1, positive=num_classes)
+        xp, b = pad_to_batch(x, batch_size)
         if patch_localization:
-            logits, emb, _ = engine.predict_patches(x, patch_dim, stride)
+            logits, emb, ppi = engine.predict_patches(xp, patch_dim, stride)
+            logits, emb = logits[: b * ppi], emb[: b * ppi]
         else:
-            logits, emb = engine.predict_batch(x)
+            logits, emb = engine.predict_batch(xp)
+            logits, emb = logits[:b], emb[:b]
         out.raw_predictions = logits
         out.embeddings = emb
         out.y_hat = convert.prediction_class(logits)
@@ -243,32 +260,54 @@ def predict_artificial(
     branch scores its batches (models.py:318-320)."""
     from ssad_tpu.data.synthetic import batched_synthesizer
 
-    synth = jax.jit(batched_synthesizer(spec, per_image_masks=False))
-    images = jnp.asarray(data.val_images if len(data.val_images) else data.train_images)
+    use_val = len(data.val_images) > 0
+    images = jnp.asarray(data.val_images if use_val else data.train_images)
+    # NON_FIXED subjects (hazelnut/screw/metal_nut) pose differently per
+    # image: use each sampled image's own mask/coords, exactly like the
+    # trainer (trainer.py _make_batch) and the reference
+    # (datasets.py:232-235 recomputes obj_mask per image) — the fixed
+    # image-0 mask would paste defects onto background for them.
+    pm = data.val_masks if use_val else data.train_masks
+    pc = data.val_coords if use_val else data.train_coords
+    pn = data.val_counts if use_val else data.train_counts
+    per_image = spec.is_non_fixed and pm is not None
+    synth = jax.jit(batched_synthesizer(spec, per_image_masks=per_image))
     pool = jnp.asarray(data.cut_pool)
-    mask = jnp.asarray(data.fixed_mask)
-    coords = jnp.asarray(data.fixed_coords)
-    count = jnp.int32(data.fixed_count)
+    if per_image:
+        masks_all = jnp.asarray(pm)
+        coords_all = jnp.asarray(pc)
+        counts_all = jnp.asarray(pn, jnp.int32)
+    else:
+        mask = jnp.asarray(data.fixed_mask)
+        coords = jnp.asarray(data.fixed_coords)
+        count = jnp.int32(data.fixed_count)
     rng = jax.random.key(seed)
     chunks = []
     remaining = num_samples
     while remaining > 0:
         b = min(batch_size, remaining)
         rng, k_idx, k_syn = jax.random.split(rng, 3)
-        idx = jax.random.randint(k_idx, (b,), 0, images.shape[0])
-        keys = jax.random.split(k_syn, b)
+        # always synthesize + forward the FULL batch shape (one compiled
+        # program each) and slice the trailing chunk down to b after —
+        # a ragged final batch would recompile both fused programs
+        idx = jax.random.randint(k_idx, (batch_size,), 0, images.shape[0])
+        keys = jax.random.split(k_syn, batch_size)
+        if per_image:
+            m, c, cnt = masks_all[idx], coords_all[idx], counts_all[idx]
+        else:
+            m, c, cnt = mask, coords, count
         x, y, orig = synth(
-            keys, images[idx], pool, jnp.int32(pool.shape[0]), mask, coords, count
+            keys, images[idx], pool, jnp.int32(pool.shape[0]), m, c, cnt
         )
         logits, emb = engine.predict_batch(x)
         out = ModelOutputs(
-            original_data=orig,
-            tensor_data=x,
-            y_true_multiclass=y,
-            y_true_binary=convert.multiclass2binary(y),
-            raw_predictions=logits,
-            embeddings=emb,
-            y_hat=convert.prediction_class(logits),
+            original_data=orig[:b],
+            tensor_data=x[:b],
+            y_true_multiclass=y[:b],
+            y_true_binary=convert.multiclass2binary(y[:b]),
+            raw_predictions=logits[:b],
+            embeddings=emb[:b],
+            y_hat=convert.prediction_class(logits[:b]),
         )
         chunks.append(out)
         remaining -= b
@@ -303,11 +342,14 @@ def normality_embeddings(
         images = images[np.sort(pick)]
     embs = []
     for lo in range(0, images.shape[0], batch_size):
-        x = jax.vmap(im.normalize_imagenet)(jnp.asarray(images[lo : lo + batch_size]))
+        raw, b = pad_to_batch(jnp.asarray(images[lo : lo + batch_size]), batch_size)
+        xp = jax.vmap(im.normalize_imagenet)(raw)
         if patch_localization:
-            _, emb, _ = engine.predict_patches(x, patch_dim, stride)
+            _, emb, ppi = engine.predict_patches(xp, patch_dim, stride)
+            emb = emb[: b * ppi]
         else:
-            _, emb = engine.predict_batch(x)
+            _, emb = engine.predict_batch(xp)
+            emb = emb[:b]
         embs.append(emb)
     return jnp.concatenate(embs, axis=0)
 

@@ -100,11 +100,20 @@ def precision_recall_curve(labels, scores):
 
 def optimal_f1_threshold(labels, scores) -> float:
     """Threshold maximizing F1 over the PR curve (reference
-    Evaluator._get_threshold, tools.py:141-146)."""
+    Evaluator._get_threshold, tools.py:141-146).
+
+    The PR sweep counts ``scores >= t`` as positive, but every consumer
+    binarizes with strict ``scores > threshold`` (torchmetrics
+    semantics, f1_score/iou_score above) — returning the sweep's t
+    verbatim would flip the boundary sample(s) to negative and report
+    an F1 that never equals the optimum just selected (the reference
+    inherits exactly this flip from torchmetrics).  Returning the
+    nextafter-down value makes ``>`` reproduce the selected optimum
+    while admitting no additional samples."""
     precision, recall, thresholds = precision_recall_curve(labels, scores)
     f1 = (2 * precision * recall) / (precision + recall + 1e-10)
     best = int(np.argmax(f1[: len(thresholds)]))
-    return float(thresholds[best])
+    return float(np.nextafter(thresholds[best], -np.inf))
 
 
 def iou_score(labels, scores, threshold: float) -> float:

@@ -63,7 +63,15 @@ def _knn_kernel(q_ref, b_ref, nvalid_ref, out_ref, *, k: int):
     for _ in range(k):
         cur = jnp.max(sims, axis=1, keepdims=True)  # (TILE_Q, 1)
         total = total + cur
-        sims = jnp.where(sims == cur, -jnp.inf, sims)
+        # eliminate exactly ONE occurrence of the max (the first), not
+        # every tie: the bank legitimately holds duplicate rows (the
+        # same image sampled twice in a batch inserts bit-identical
+        # embeddings), and top-k semantics — lax.top_k, sklearn
+        # kneighbors — count each duplicate separately.  Masking all
+        # ties would substitute the (k+1)-th neighbor and inflate
+        # scores vs the XLA/sklearn oracles.
+        first = jnp.argmax(sims, axis=1, keepdims=True)  # (TILE_Q, 1)
+        sims = jnp.where(col == first, -jnp.inf, sims)
     # out block is (TILE_Q, 128) — lane-aligned; scores broadcast across
     # lanes, the caller reads column 0
     out_ref[:] = jnp.broadcast_to(1.0 - total / k, out_ref.shape)

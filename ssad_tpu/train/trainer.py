@@ -126,11 +126,17 @@ class Trainer:
 
     # --- batch synthesis inside the step --------------------------------
 
-    def _make_batch(self, key, images, masks, coords, counts):
+    def _make_batch(self, key, images, masks, coords, counts, pool):
         """Sample batch indices + synthesize, all on device.
 
         images: (N, H, W, 3); masks/coords/counts are either unbatched
         (fixed-pose subjects) or per-image stacks (NON_FIXED subjects).
+        pool rides as a traced ARGUMENT (via _device_data), not a
+        closure constant: a closed-over (15, 256, 256, 3) f32 array
+        would be baked into every step program's HLO as a ~12 MB
+        literal — the remote-compile-upload bloat inference.py's
+        weights-as-arguments design exists to avoid (and
+        category_parallel already passes it as CategoryData).
         """
         b = self.cfg.data.batch_size
         k_idx, k_syn = jax.random.split(key)
@@ -138,7 +144,6 @@ class Trainer:
         idx = jax.random.randint(k_idx, (b,), 0, n)
         batch_imgs = images[idx]
         keys = jax.random.split(k_syn, b)
-        pool = jnp.asarray(self.data.cut_pool)
         n_cut = jnp.int32(self.data.cut_pool.shape[0])
         per_image = masks.ndim == 3  # matches spec.is_non_fixed at image level
         if per_image:
@@ -171,8 +176,9 @@ class Trainer:
         )
         tx = optim_mod.build_optimizer(self.cfg.optim, stage, steps, self._params_template)
 
-        def train_step(state: TrainState, key, images, masks, coords, counts, fill_bank):
-            x, y, orig = self._make_batch(key, images, masks, coords, counts)
+        def train_step(state: TrainState, key, images, masks, coords, counts, pool,
+                       fill_bank):
+            x, y, orig = self._make_batch(key, images, masks, coords, counts, pool)
 
             def loss_fn(params):
                 out, mutated = model.apply(
@@ -208,8 +214,8 @@ class Trainer:
             new_state = TrainState(new_params, new_stats, new_opt, bank, state.step + 1)
             return new_state, {"loss": loss, "accuracy": acc}
 
-        def eval_step(params, batch_stats, key, images, masks, coords, counts):
-            x, y, _ = self._make_batch(key, images, masks, coords, counts)
+        def eval_step(params, batch_stats, key, images, masks, coords, counts, pool):
+            x, y, _ = self._make_batch(key, images, masks, coords, counts, pool)
             out = model.apply(
                 {"params": params, "batch_stats": batch_stats}, x, train=False
             )
@@ -245,7 +251,7 @@ class Trainer:
             masks = jnp.asarray(masks)
             coords = jnp.asarray(coords)
             counts = jnp.asarray(counts)
-        return images, masks, coords, counts
+        return images, masks, coords, counts, jnp.asarray(d.cut_pool)
 
     # --- the two-phase fit ------------------------------------------------
 
@@ -302,7 +308,10 @@ class Trainer:
                 rng, k = jax.random.split(rng)
                 state, metrics = train_step(state, k, *tr, fill)
                 metrics_acc.append(metrics)
-            jax.block_until_ready(metrics_acc[-1]["loss"])
+            # scalar readback, not block_until_ready: the tunneled
+            # backend under-reports the latter (CLAUDE.md), which would
+            # over-report images/sec against the BASELINE targets
+            float(metrics_acc[-1]["loss"])
             dt = _time.perf_counter() - t_epoch
             result.history.setdefault(f"{stage}_images_per_sec", []).append(
                 steps_per_epoch * self.cfg.data.batch_size / max(dt, 1e-9)
@@ -398,8 +407,17 @@ class Trainer:
         resume_dir: when set, an end-of-epoch snapshot is written there
         and an existing snapshot is continued from (epoch granularity).
         """
-        rng = jax.random.key(seed)
-        rng, k_init = jax.random.split(rng)
+        # stage keys are FOLDED from the seed, not split from a running
+        # stream: a run that crashes mid-projection and resumes must
+        # enter fine-tune with the SAME key as an uninterrupted run
+        # (the resume path skips the projection-stage split, so a
+        # sequential stream would desynchronize the two) — the same
+        # stage-fixed-key discipline category_parallel.fit_categories
+        # uses
+        base = jax.random.key(seed)
+        k_init = jax.random.fold_in(base, 0)
+        k_proj = jax.random.fold_in(base, 1)
+        k_ft = jax.random.fold_in(base, 2)
         result = TrainResult(params=None, batch_stats=None, bank=None, history={})
 
         resume = None
@@ -428,7 +446,7 @@ class Trainer:
         if resume is None or resume["stage"] == "projection":
             if resume is None:
                 state = self.init_state(k_init, "projection")
-                rng, k_stage = jax.random.split(rng)
+                k_stage = k_proj
                 start = 0
             else:
                 self.init_state(k_init, "projection")  # build step fns/template
@@ -445,7 +463,7 @@ class Trainer:
                 state.params, state.batch_stats, tx2.init(state.params), bank,
                 jnp.zeros((), jnp.int32),
             )
-            rng, k_stage = jax.random.split(rng)
+            k_stage = k_ft
             ft_start = 0
         else:
             self.init_state(k_init, "fine_tune")  # build step fns/template

@@ -49,9 +49,20 @@ class TestF1:
     def test_optimal_threshold_beats_fixed(self, binary_problem):
         labels, scores = binary_problem
         thr = M.optimal_f1_threshold(labels, scores)
-        f_best = M.f1_score(labels, scores, thr - 1e-9)
+        # the returned threshold composes with the strict `>` every
+        # consumer applies — no epsilon nudging needed
+        f_best = M.f1_score(labels, scores, thr)
         for t in (0.1, 0.3, 0.5, 0.9):
             assert f_best >= M.f1_score(labels, scores, t) - 1e-6
+
+    def test_optimal_threshold_includes_boundary_sample(self):
+        """Scores [0.9+, 0.8+, 0.1-]: the sweep's best F1 is 1.0 at
+        t=0.8 counting `>= t`; with strict `>` binarization the
+        returned threshold must still include the 0.8 sample."""
+        labels = np.array([1, 1, 0])
+        scores = np.array([0.9, 0.8, 0.1])
+        thr = M.optimal_f1_threshold(labels, scores)
+        assert M.f1_score(labels, scores, thr) == 1.0
 
     def test_pr_curve_matches_sklearn(self, binary_problem):
         from sklearn.metrics import precision_recall_curve as sk_pr

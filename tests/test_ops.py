@@ -187,6 +187,23 @@ class TestKnn:
             out = knn.knn_cosine_scores_pallas(q, bank, k=3)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
+    def test_pallas_counts_duplicate_bank_rows_like_topk(self, rng):
+        """The bank legitimately holds bit-identical duplicate rows (the
+        same image sampled twice in a batch inserts twice); top-k
+        semantics count each duplicate separately.  The kernel's
+        max-elimination pass must remove ONE tied occurrence per pass,
+        not all of them — masking all ties substitutes the (k+1)-th
+        neighbor and inflates normal samples' anomaly scores."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        base = rng.random((20, 32)).astype(np.float32)
+        bank = jnp.asarray(np.concatenate([base, base[:5]]))  # 5 dups
+        q = jnp.asarray(base[:8] + 1e-3 * rng.standard_normal((8, 32)).astype(np.float32))
+        ref = knn.knn_cosine_scores_xla(q, bank, k=3)
+        with pltpu.force_tpu_interpret_mode():
+            out = knn.knn_cosine_scores_pallas(q, bank, k=3)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
     def test_exact_neighbor(self):
         bank = jnp.eye(8, dtype=jnp.float32)
         q = bank[:2]
