@@ -74,10 +74,17 @@ def fill_holes(mask: np.ndarray) -> np.ndarray:
     h, w = mask.shape
     m = mask.astype(np.uint8).copy()
     if _HAS_CV2:
-        ff = m.copy()
-        cv2_mask = np.zeros((h + 2, w + 2), np.uint8)
+        # pad with a zero ring before flood-filling from (0, 0): the
+        # ring 4-connects every border background region, so ONE seed
+        # reaches them all (matching scipy binary_fill_holes and the
+        # BFS fallback below, which seed every border pixel).  Filling
+        # the unpadded mask from the corner misclassifies any border
+        # region not connected to (0, 0) as a hole — and if (0, 0)
+        # itself is foreground, ALL background becomes "holes".
+        ff = np.pad(m, 1)
+        cv2_mask = np.zeros((h + 4, w + 4), np.uint8)
         cv2.floodFill(ff, cv2_mask, (0, 0), 1)
-        holes = (ff == 0) & (m == 0)
+        holes = (ff[1:-1, 1:-1] == 0) & (m == 0)
         return mask | holes
     # BFS fallback
     from collections import deque

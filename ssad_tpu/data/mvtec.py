@@ -182,21 +182,31 @@ def prepare_pretext_data(
     )
 
     # per-image masks for non-fixed-pose subjects (datasets.py:232-235):
-    # the mask depends only on the image, so precompute once per image
+    # the mask depends only on the image, so precompute once per image.
+    # In patch mode the synthesizer recomputes CDF coordinates from the
+    # CROPPED mask on device (make_synthesizer docstring), so the packed
+    # (N, H·W, 2) coordinate stacks are dead there — skip building them
+    # (~0.5 MB/image of host RAM and device transfer) and store 1-row
+    # placeholders; batched_synthesizer's image-level path rejects
+    # placeholder coords at trace time.
     if constants.is_non_fixed_object(subject):
+        coord_rows = 1 if patch_localization else imsize[0] * imsize[1]
+
         def mask_all(images):
             ms, cs, ns = [], [], []
             for img in images:
                 m = masks_mod.object_mask((img * 255).astype(np.uint8))
-                c, n = masks_mod.pack_coords(m)
+                if patch_localization:
+                    c, n = np.zeros((1, 2), np.int32), 0
+                else:
+                    c, n = masks_mod.pack_coords(m)
                 ms.append(m.astype(np.float32))
                 cs.append(c)
                 ns.append(n)
             if not ms:
-                hw = imsize[0] * imsize[1]
                 return (
                     np.zeros((0,) + imsize, np.float32),
-                    np.zeros((0, hw, 2), np.int32),
+                    np.zeros((0, coord_rows, 2), np.int32),
                     np.zeros((0,), np.int32),
                 )
             return np.stack(ms), np.stack(cs), np.asarray(ns, np.int32)

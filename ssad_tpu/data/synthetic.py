@@ -137,9 +137,14 @@ class SynthSpec:
     @staticmethod
     def _aspect_extreme(ranges) -> float:
         """Largest side-stretch factor over both aspect intervals: width
-        grows with aspect (√aspect), height with 1/aspect (√(1/aspect)),
-        so the bounding side is governed by max(aspect_hi, 1/aspect_lo)."""
-        return max(max(ranges[1]), 1.0 / min(ranges[0]))
+        grows with aspect (√aspect), height with 1/aspect (√(1/aspect)).
+        Evaluated over EVERY interval endpoint — assuming interval 0 is
+        the below-1 one and interval 1 the above-1 one (the CPP default
+        split) would under-size the tile for custom AugConfigs whose
+        intervals are swapped or both wide, silently truncating extreme-
+        aspect crops against the static tile."""
+        vals = [v for r in ranges for v in r]
+        return max(max(vals), 1.0 / min(vals))
 
     @property
     def poly_tile(self) -> int:
@@ -280,8 +285,10 @@ def _sample_mask_walk(key, cs, n: int):
 def _container_clamp(canvas_hw, patch_w, patch_h, cx, cy, scale: float):
     """Clamp a paste box into the central container
     (reference check_valid_coordinates_by_container,
-    dataset_generator.py:104-144: note it uses imsize[0] for both axes)."""
-    center = canvas_hw[0] // 2
+    dataset_generator.py:104-144: note it uses imsize[0] — PIL's WIDTH
+    — for both axes; canvas_hw is (H, W), so the faithful quirk
+    reproduction reads canvas_hw[1])."""
+    center = canvas_hw[1] // 2
     # reference: left = int(center - center/scale) — truncation applies
     # AFTER the subtraction (Container, dataset_generator.py:15-24); for
     # scale 1.75 this differs by 1 from center - int(center/scale)
@@ -433,13 +440,20 @@ def _polygon_vertices(key, pw, ph):
     firsts = jnp.stack([l_p1, t_p1, r_p1, b_p1])
     seconds = jnp.stack([l_p2, t_p2, r_p2, b_p2])
 
+    # one-hot row selects instead of `.at[off].set(...)`: `off` is
+    # traced, and a batched dynamic_update_slice under the synthesis
+    # vmap serializes into an XLA while-loop over the batch (the
+    # _shift_matrix rule below); the elementwise-where form vectorizes
     verts = jnp.zeros((8, 2), jnp.float32)
+    row = jnp.arange(8)
     off = jnp.int32(0)
     for side in range(4):
         p1 = jnp.where(two[side], firsts[side], singles[side])
-        verts = verts.at[off].set(p1)
-        verts_with_p2 = verts.at[off + 1].set(seconds[side])
-        verts = jnp.where(two[side], verts_with_p2, verts)
+        verts = jnp.where((row == off)[:, None], p1[None, :], verts)
+        verts = jnp.where(
+            ((row == off + 1) & two[side])[:, None],
+            seconds[side][None, :], verts,
+        )
         off = off + 1 + two[side].astype(jnp.int32)
     return verts, off
 
@@ -665,10 +679,13 @@ def _draw_line(key, spec: SynthSpec, x, cs):
     pts = rasterize.smooth_polyline(pts, window=10, polyorder=2)
 
     if not spec.patch_localization:
-        # split into 10 runs of n//10 points, keep one (datasets.py:374-377)
+        # split into 10 runs of n//10 points, keep one (datasets.py:374-377).
+        # one-hot matmul, not dynamic_slice: the offset is traced, and a
+        # batched dynamic_slice under the synthesis vmap serializes into
+        # a per-sample while-loop (see _shift_matrix)
         seg = n // spec.aug.line_splits
         kpick = _randint_incl(k_split, 0, spec.aug.line_splits - 1)
-        pts = jax.lax.dynamic_slice(pts, (kpick * seg, 0), (seg, 2))
+        pts = _shift_matrix(seg, n, kpick * seg).astype(pts.dtype) @ pts
         n_active = seg
     else:
         n_active = n
@@ -829,6 +846,14 @@ def batched_synthesizer(spec: SynthSpec, per_image_masks: bool | None = None):
     inner = jax.vmap(synth, in_axes=(0, 0, None, None, ax, None, None, 0, cut_ax))
 
     def run(keys, images, cut_pool, n_cut, masks, coords, counts):
+        if coords.shape[-2] == 1:
+            raise ValueError(
+                "image-level synthesis received 1-row placeholder "
+                "coordinates — this PretextData was prepared with "
+                "patch_localization=True (prepare_pretext_data skips "
+                "packing coords in patch mode); re-prepare it for "
+                "image-level use"
+            )
         sample_keys = jax.vmap(lambda k: jax.random.fold_in(k, 0x5A11))(keys)
         idx = jax.vmap(presample_indices, in_axes=(0, 0 if per_image_masks else None, None, None))(
             sample_keys, counts, n_walk, max_copies

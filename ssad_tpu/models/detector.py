@@ -64,7 +64,9 @@ class AnomalyDetector:
         n_train = m - n_val
         if n_train < self.k:
             n_train, n_val = self.k, m - self.k
-        train = emb[perm[n_val:]] if n_train == m - n_val else emb[perm[-n_train:]]
+        # n_train + n_val == m in both branches above, so the split is
+        # always a clean partition of the permutation
+        train = emb[perm[n_val:]]
         val = emb[perm[:n_val]]
 
         self.bank = train

@@ -205,8 +205,18 @@ def export_scorer(
                     precision=precision)
     spec = jax.ShapeDtypeStruct((batch, imsize[0], imsize[1], 3), jnp.float32)
     # kernel dispatch keys on jax.default_backend(), which the
-    # default_device context does NOT change — pin it for cross-lowering
-    knn_impl = "pallas" if platform == "tpu" else "xla"
+    # default_device context does NOT change — pin it for cross-lowering.
+    # Banks beyond the Pallas kernel's VMEM envelope (every multi-image
+    # patch bank) must take — and be RECORDED as taking — the XLA path:
+    # forcing 'pallas' for them would bake an overflowing kernel, and
+    # recording 'pallas' while the auto-dispatch traced XLA would
+    # misreport the served kernel in the artifact header.
+    oversized = (
+        scorer == "knn"
+        and bank is not None
+        and bank.shape[0] > knn_mod.PALLAS_MAX_BANK_ROWS
+    )
+    knn_impl = "pallas" if (platform == "tpu" and not oversized) else "xla"
     impl_ctx = (
         knn_mod.force_impl(knn_impl) if platform != host
         else contextlib.nullcontext()

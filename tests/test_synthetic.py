@@ -194,6 +194,31 @@ class TestMasks:
         assert out[7, 7] and out[8, 8]
         assert not out[0, 0]
 
+    def test_fill_holes_matches_scipy(self):
+        """Oracle test incl. the cases the single-corner-seed cv2 path
+        got wrong: a foreground (0,0) pixel, and background split into
+        several border-touching regions (cable-style border-to-border
+        edges) — only true enclosed holes may be filled."""
+        from scipy.ndimage import binary_fill_holes
+
+        rng = np.random.default_rng(0)
+        for _ in range(50):
+            m = (rng.random((24, 24)) < 0.35)
+            np.testing.assert_array_equal(
+                masks.fill_holes(m).astype(bool), binary_fill_holes(m)
+            )
+        corner = np.ones((8, 8), bool)
+        corner[4:6, 4:6] = False
+        np.testing.assert_array_equal(
+            masks.fill_holes(corner).astype(bool), binary_fill_holes(corner)
+        )
+        split = np.zeros((10, 10), bool)
+        split[:, 5] = True  # wall: background splits into two border regions
+        split[3:5, 7] = True
+        np.testing.assert_array_equal(
+            masks.fill_holes(split).astype(bool), binary_fill_holes(split)
+        )
+
     def test_pack_coords_order(self):
         m = np.zeros((4, 4), np.uint8)
         m[1, 2] = 1
