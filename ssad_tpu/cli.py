@@ -166,7 +166,9 @@ def cmd_train_multi(args) -> int:
     mesh = mesh_from_config(cfg.mesh)
     datas = [
         mvtec.prepare_pretext_data(
-            args.dataset_dir, s, imsize=cfg.data.imsize, seed=args.seed
+            args.dataset_dir, s, imsize=cfg.data.imsize, seed=args.seed,
+            val_fraction=cfg.data.train_val_split,
+            patch_localization=cfg.data.patch_localization,
         )
         for s in subjects
     ]
@@ -383,9 +385,12 @@ def cmd_infer(args) -> int:
 
 
 def _serving_compile_cache():
-    """Persistent XLA compile cache for the serving commands: the first
-    TPU compile goes through a remote tunnel (20 s–minutes), and a
-    serving host must not re-pay it on every restart."""
+    """Persistent XLA compile cache (every command, via main()): the
+    first TPU compile goes through a remote tunnel (20 s–minutes per
+    program), and no command — a serving restart, a train/evaluate
+    rerun — should re-pay it.  Override the location with
+    SSAD_JAX_CACHE; kept as a separate function because library users
+    bypass main()."""
     import os
 
     import jax
@@ -518,17 +523,29 @@ def _load_artifact_models(paths, max_delay_ms: float, max_queue, devices: int = 
     return models, total_warmup
 
 
-def _make_http_server(frontend: str, **kw):
+def _make_http_server(frontend: str, max_queue=None, **kw):
     """Pick the HTTP front end: 'stdlib' (serving/server.py,
     ThreadingHTTPServer) or 'native' (serving/native_frontend.py, the
     C++ epoll transport — measured 1.7× the qps at concurrency 16 on a
     1-core host; see README).  'native' falls back LOUDLY to stdlib
-    when the C++ library cannot be built here."""
+    when the C++ library cannot be built here.
+
+    `max_queue` reaches the NATIVE transport's shed bound (the C++
+    layer sheds before Python sees a request; 0/None disables).  The
+    stdlib front end has no transport bound — its admission control
+    lives entirely in the BatchingScorer, which both front ends already
+    get via _load_artifact_models — so the flag must not silently mean
+    a different depth per front end."""
     if frontend == "native":
         from ssad_tpu.serving import native_frontend
 
         if native_frontend.available():
-            return native_frontend.NativeAnomalyHTTPServer(**kw), "native"
+            return (
+                native_frontend.NativeAnomalyHTTPServer(
+                    max_queue=max_queue, **kw
+                ),
+                "native",
+            )
         print("WARNING: native front end unavailable (g++/build failed "
               "or SSAD_NATIVE=0); falling back to the stdlib front end",
               flush=True)
@@ -557,7 +574,7 @@ def cmd_serve(args) -> int:
     server, frontend = _make_http_server(
         args.frontend, host=args.host, port=args.port,
         score_timeout=args.score_timeout, models=models,
-        reloader=reloader,
+        reloader=reloader, max_queue=args.max_queue,
     )
     server.start()
     print(json.dumps({
@@ -609,6 +626,7 @@ def cmd_serve_bench(args) -> int:
         server, _frontend = _make_http_server(
             args.frontend, host="127.0.0.1", port=0,
             score_timeout=args.score_timeout, models=models,
+            max_queue=args.max_queue,
         )
         server.start()
         host, port = "127.0.0.1", server.port
@@ -849,6 +867,13 @@ def _score_remote(args) -> int:
     n_rows = n_anomalous = 0
     errors = []
     threshold = None
+    def flush_errors():
+        if errors:
+            with open(err_path, "w", newline="") as ef:
+                ew = csv.writer(ef)
+                ew.writerow(["path", "status", "error"])
+                ew.writerows(errors)
+
     with open(csv_path, "w", newline="") as f:
         wr = csv.writer(f)
         wr.writerow(["path", "map_max", "map_mean"] if mode == "patch"
@@ -858,9 +883,21 @@ def _score_remote(args) -> int:
                 out = client.score_file(p, heatmap=bool(heat_dir))
             except ServingError as e:
                 if e.status >= 500:
+                    flush_errors()
                     raise SystemExit(f"{p}: server failure — {e}")
                 errors.append((str(p), e.status, str(e)))
                 continue
+            except OSError as e:
+                # connection-level failure mid-sweep (server died,
+                # network drop): keep the partial scores.csv and the
+                # per-file errors recorded so far, and exit with a
+                # usable message instead of a raw traceback
+                flush_errors()
+                raise SystemExit(
+                    f"{p}: connection to {args.url} failed after "
+                    f"{n_rows} scored files — {e!r}; partial results in "
+                    f"{csv_path}"
+                )
             if mode == "patch":
                 wr.writerow([str(p), out["map_max"], out["map_mean"]])
                 if heat_dir is not None:
@@ -875,11 +912,7 @@ def _score_remote(args) -> int:
                 wr.writerow([str(p), out["score"], out["label"]])
             n_rows += 1
             f.flush()
-    if errors:
-        with open(err_path, "w", newline="") as f:
-            wr = csv.writer(f)
-            wr.writerow(["path", "status", "error"])
-            wr.writerows(errors)
+    flush_errors()
 
     summary = {
         "mode": mode, "n": n_rows, "csv": str(csv_path),
@@ -1522,6 +1555,7 @@ def main(argv=None) -> int:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    _serving_compile_cache()
     return args.fn(args)
 
 

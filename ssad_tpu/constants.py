@@ -91,14 +91,25 @@ class ModelOutputs:
         """Concatenate per-batch outputs along the batch axis.
 
         Equivalent of the reference's from_list (constants.py:30-53):
-        fields that are None in every chunk stay None.
+        fields that are None in every chunk stay None.  A field set in
+        SOME chunks but None in others is an error — silently dropping
+        the None chunks would yield a field shorter than its siblings,
+        and downstream metrics would zip misaligned rows without any
+        exception.
         """
         out = ModelOutputs()
         for f in dataclasses.fields(ModelOutputs):
             vals = [getattr(c, f.name) for c in chunks]
-            vals = [v for v in vals if v is not None]
-            if vals:
-                setattr(out, f.name, jnp.concatenate([jnp.asarray(v) for v in vals], axis=0))
+            present = [v for v in vals if v is not None]
+            if present and len(present) != len(vals):
+                raise ValueError(
+                    f"ModelOutputs.concat: field {f.name!r} is set in "
+                    f"{len(present)}/{len(vals)} chunks — concatenating "
+                    "would misalign it against fully-populated fields"
+                )
+            if present:
+                setattr(out, f.name, jnp.concatenate(
+                    [jnp.asarray(v) for v in present], axis=0))
         return out
 
     def to_host(self) -> "ModelOutputs":

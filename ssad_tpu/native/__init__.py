@@ -106,8 +106,34 @@ def available() -> bool:
     return _load() is not None
 
 
+def _png_needs_pil(path) -> bool:
+    """True for PNGs the native path must NOT decode: palette (color
+    type 3) and alpha (4/6) images go through libpng's simplified-API
+    compositing, and 16-bit depths through its rescaling — both with
+    different semantics than PIL's convert('RGB'), which the rest of
+    the pipeline (and the parity tests) are defined against.  Sniffed
+    from the IHDR header (26 bytes): 8-bit grayscale (0) and truecolor
+    (2) are the formats whose libpng→RGB conversion matches PIL."""
+    try:
+        with open(path, "rb") as f:
+            head = f.read(26)
+    except OSError:
+        return True
+    if len(head) < 26 or head[12:16] != b"IHDR":
+        return True
+    bit_depth, color_type = head[24], head[25]
+    return bit_depth != 8 or color_type not in (0, 2)
+
+
 def _supported(paths: Sequence[str]) -> bool:
-    return all(str(p).lower().endswith((".png", ".jpg", ".jpeg")) for p in paths)
+    for p in paths:
+        s = str(p).lower()
+        if s.endswith(".png"):
+            if _png_needs_pil(p):
+                return False
+        elif not s.endswith((".jpg", ".jpeg")):
+            return False
+    return True
 
 
 def decode_resize_batch(
@@ -122,7 +148,8 @@ def decode_resize_batch(
     decode (callers fall back to PIL).  n_threads=0 → hardware count.
     PIL-parity caveat (tested in tests/test_native.py): the native path
     decodes to the target mode *before* resizing, which is identical
-    for RGB/grayscale sources; palette-mode PNGs fall back to PIL.
+    for RGB/grayscale sources; palette/alpha/16-bit PNGs are detected
+    from the IHDR header and fall back to PIL (_png_needs_pil).
     """
     lib = _load()
     if lib is None or not _supported(paths):

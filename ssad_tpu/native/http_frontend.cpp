@@ -214,18 +214,19 @@ void close_conn(Server* s, Conn* c) {
   delete c;
 }
 
-// Parse as many complete requests out of c->rbuf as possible.  Returns
-// false when the connection must be closed.
-bool parse_requests(Server* s, Conn* c) {
+// Parse as many complete requests out of c->rbuf as possible.
+// Protocol violations answer via conn_error_response (which closes
+// after the write) — there is no return-value close contract.
+void parse_requests(Server* s, Conn* c) {
   for (;;) {
-    if (c->waiting_response) return true;  // one request in flight max
+    if (c->waiting_response) return;  // one request in flight max
     if (!c->headers_done) {
       size_t end = c->rbuf.find("\r\n\r\n");
       if (end == std::string::npos) {
         if (c->rbuf.size() > kMaxHeaderBytes) {
           conn_error_response(s, c, 431, "headers too large");
         }
-        return true;
+        return;
       }
       // request line
       size_t line_end = c->rbuf.find("\r\n");
@@ -236,7 +237,7 @@ bool parse_requests(Server* s, Conn* c) {
       if (sp1 == std::string::npos || sp2 == std::string::npos ||
           line.compare(sp2 + 1, 5, "HTTP/") != 0) {
         conn_error_response(s, c, 400, "malformed request line");
-        return true;
+        return;
       }
       c->cur = Request{};
       c->cur.method = line.substr(0, sp1);
@@ -283,7 +284,7 @@ bool parse_requests(Server* s, Conn* c) {
       }
       if (bad_length) {
         conn_error_response(s, c, 400, "invalid Content-Length");
-        return true;
+        return;
       }
       if (chunked) {
         // cannot be framed below; reject AND close (unread chunked
@@ -292,11 +293,11 @@ bool parse_requests(Server* s, Conn* c) {
         conn_error_response(s, c, 411,
                             "chunked bodies are not supported; send "
                             "Content-Length");
-        return true;
+        return;
       }
       if (c->content_length > s->max_body) {
         conn_error_response(s, c, 413, "body too large");
-        return true;
+        return;
       }
       if (c->content_length < 0) c->content_length = 0;
       c->rbuf.erase(0, end + 4);
@@ -306,7 +307,7 @@ bool parse_requests(Server* s, Conn* c) {
       }
     }
     // body
-    if (c->rbuf.size() < static_cast<size_t>(c->content_length)) return true;
+    if (c->rbuf.size() < static_cast<size_t>(c->content_length)) return;
     c->cur.body = c->rbuf.substr(0, c->content_length);
     c->rbuf.erase(0, c->content_length);
     c->headers_done = false;
@@ -428,22 +429,27 @@ void io_loop(Server* s) {
             s->bytes_in.fetch_add(got);
             if (c->rbuf.size() > static_cast<size_t>(s->max_body) +
                                      kMaxHeaderBytes) {
+              // rbuf is a TRANSPORT buffer bound, not a request limit:
+              // several pipelined in-limit requests can legitimately
+              // exceed it, and an immediate 413 here would (a) reject
+              // requests the parser's own Content-Length check allows,
+              // and (b) when a response is still owed, be attributed
+              // to the in-flight request, breaking HTTP/1.1 ordering.
+              // Stop READING instead; per-request limits are enforced
+              // in order by parse_requests (413 on Content-Length >
+              // max_body, 431 on oversized headers).
               if (c->waiting_response) {
-                // A response is still owed on this connection: a 413
-                // written now would be attributed to the in-flight
-                // request and its real response dropped, breaking the
-                // HTTP/1.1 ordering contract.  Pause reading instead
-                // (bounds rbuf); conn_send re-arms EPOLLIN when the
-                // pending response is written, and parse_requests then
-                // rejects the oversized pipelined request in order via
-                // the Content-Length / header-size checks.
+                // de-arm EPOLLIN (conn_send re-arms when the pending
+                // response is written) so an unread socket cannot spin
+                // the loop hot while we wait
                 epoll_event ev{};
                 ev.events = c->want_write ? EPOLLOUT : 0;
                 ev.data.fd = fd;
                 epoll_ctl(s->epoll_fd, EPOLL_CTL_MOD, fd, &ev);
-                break;
               }
-              conn_error_response(s, c, 413, "body too large");
+              // waiting_response == false: parse_requests below drains
+              // a complete buffered request (→ one in flight, next
+              // overflow pauses) or error-closes on a violating one
               break;
             }
           } else if (got == 0) {
@@ -457,7 +463,7 @@ void io_loop(Server* s) {
           }
         }
         if (!dead && !c->close_after_write) {
-          if (!parse_requests(s, c)) dead = true;
+          parse_requests(s, c);
         }
         if (!dead && c->peer_closed) {
           if (half_closed_done(c)) {

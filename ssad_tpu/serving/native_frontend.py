@@ -145,8 +145,11 @@ class NativeAnomalyHTTPServer:
         self._reloader = reloader
         self._reload_lock = threading.Lock()
         self._lib = lib
-        self._handle = lib.nhf_create(host.encode(), int(port),
-                                      int(max_queue), 0)
+        # 0/None = no transport bound (the C side treats <=0 as "use
+        # the built-in default", so unlimited is spelled as a bound no
+        # real deployment reaches)
+        mq = int(max_queue) if max_queue else (1 << 30)
+        self._handle = lib.nhf_create(host.encode(), int(port), mq, 0)
         self._poller: Optional[threading.Thread] = None
         self._pool = ThreadPoolExecutor(max_workers=responders)
         self._stopped = False

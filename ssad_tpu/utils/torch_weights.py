@@ -103,7 +103,6 @@ def _cast_like(template, source):
     """Match dtypes/structure of the flax template tree."""
     import jax
 
-    flat_t = jax.tree_util.tree_flatten_with_path(template)[0]
     out = source
 
     def cast(path, leaf_t):

@@ -461,3 +461,47 @@ class TestPollerResilience:
             assert out.find(b"200 OK") < out.find(b"413")
         finally:
             srv.stop()
+
+
+class TestTransportBufferBound:
+    def test_pipelined_inlimit_requests_exceeding_rbuf_both_answered(self):
+        """Two pipelined requests each within max_body whose combined
+        bytes exceed the transport buffer bound (max_body + 16K header
+        room) must BOTH get 200s: the rbuf bound pauses reading, it is
+        not a request limit (the per-request 413 lives in the parser's
+        Content-Length check)."""
+        from ssad_tpu.serving.native_frontend import NativeAnomalyHTTPServer
+
+        sc = BatchingScorer(_sum_scorer, batch=1, max_delay_ms=1.0)
+        srv = NativeAnomalyHTTPServer(
+            sc, {"mode": "image", "imsize": [40, 40], "threshold": 1e9},
+            port=0,
+        )
+        # max_body 20000 > one 19,328-byte (40,40,3) npy body; two
+        # pipelined bodies exceed max_body + 16K → the old code 413'd
+        srv._lib.nhf_destroy(srv._handle)
+        srv._handle = srv._lib.nhf_create(b"127.0.0.1", 0, 1024, 20000)
+        srv.start()
+        try:
+            body = _npy(np.full((40, 40, 3), 0.25, np.float32))
+            req = (
+                f"POST /score HTTP/1.1\r\nHost: x\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n"
+            ).encode() + body
+            s = socket.create_connection(("127.0.0.1", srv.port), timeout=10)
+            s.sendall(req + req)  # one burst, combined > max_body + 16K
+            s.settimeout(10)
+            out = b""
+            try:
+                while out.count(b'"score"') < 2:
+                    got = s.recv(65536)
+                    if not got:
+                        break
+                    out += got
+            except socket.timeout:
+                pass
+            s.close()
+            assert out.count(b"HTTP/1.1 200") == 2, out[:300]
+            assert b"413" not in out
+        finally:
+            srv.stop()
