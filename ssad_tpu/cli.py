@@ -1178,6 +1178,35 @@ def cmd_parity(args) -> int:
     return 0
 
 
+def cmd_import_ckpt(args) -> int:
+    """Import a reference-trained Lightning checkpoint (best_model.ckpt,
+    tools.py:304-306) as a native checkpoint directory, so evaluate /
+    infer / localize / export / serve run on a model trained with the
+    reference codebase — no retraining (utils/ref_checkpoint.py)."""
+    import json as _json
+
+    from ssad_tpu.train.checkpoint import save_checkpoint
+    from ssad_tpu.utils.ref_checkpoint import load_reference_checkpoint
+
+    params, batch_stats, bank, mcfg = load_reference_checkpoint(
+        args.ckpt, allow_pickle=args.allow_pickle
+    )
+    cfg = TrainConfig(
+        data=DataConfig(subject=args.subject, imsize=(args.imsize, args.imsize)),
+        model=mcfg,
+    )
+    out = Path(args.models_dir) / args.subject
+    out.mkdir(parents=True, exist_ok=True)
+    path = save_checkpoint(out, params, batch_stats, bank, cfg)
+    print(_json.dumps({
+        "subject": args.subject,
+        "checkpoint": path,
+        "bank_rows": int(bank.count) if bank is not None else 0,
+        "model": dataclasses.asdict(mcfg),
+    }))
+    return 0
+
+
 def _subjects(args):
     if args.subjects == "all":
         return list(constants.ALL_CATEGORIES)
@@ -1303,6 +1332,24 @@ def build_parser() -> argparse.ArgumentParser:
                        help="distill normality to N rows by k-center-greedy "
                             "coreset selection before fitting the detector")
     inf_p.set_defaults(fn=cmd_infer)
+
+    ic = sub.add_parser(
+        "import-ckpt",
+        help="import a reference-trained Lightning checkpoint "
+             "(best_model.ckpt) as a native checkpoint directory",
+    )
+    ic.add_argument("--ckpt", required=True,
+                    help="path to the reference best_model.ckpt")
+    ic.add_argument("--models-dir", required=True,
+                    help="checkpoint root; writes <models-dir>/<subject>/best_model")
+    ic.add_argument("--subject", required=True)
+    ic.add_argument("--imsize", type=int, default=256)
+    ic.add_argument("--allow-pickle", action="store_true",
+                    help="permit full unpickling when the safe torch loader "
+                         "rejects the file (trusted checkpoints only)")
+    ic.add_argument("--platform", default=None, choices=["cpu", "tpu", "gpu"],
+                    help="force a JAX backend (conversion itself is host work)")
+    ic.set_defaults(fn=cmd_import_ckpt)
 
     pr = sub.add_parser(
         "profile", help="capture a device trace of the fused train step "
