@@ -206,19 +206,22 @@ def export_scorer(
     spec = jax.ShapeDtypeStruct((batch, imsize[0], imsize[1], 3), jnp.float32)
     # kernel dispatch keys on jax.default_backend(), which the
     # default_device context does NOT change — pin it for cross-lowering.
-    # Banks beyond the Pallas kernel's VMEM envelope (every multi-image
-    # patch bank) must take — and be RECORDED as taking — the XLA path:
-    # forcing 'pallas' for them would bake an overflowing kernel, and
-    # recording 'pallas' while the auto-dispatch traced XLA would
-    # misreport the served kernel in the artifact header.
+    # 'pallas' is size-aware: banks beyond the resident kernel's VMEM
+    # envelope (every multi-image patch bank) trace the streaming-tiled
+    # kernel; the header records which one actually rode into the
+    # artifact so the served kernel is never misreported.
     oversized = (
         scorer == "knn"
         and bank is not None
         and bank.shape[0] > knn_mod.PALLAS_MAX_BANK_ROWS
     )
-    knn_impl = "pallas" if (platform == "tpu" and not oversized) else "xla"
+    if platform == "tpu":
+        knn_impl = "pallas_tiled" if oversized else "pallas"
+    else:
+        knn_impl = "xla"
     impl_ctx = (
-        knn_mod.force_impl(knn_impl) if platform != host
+        knn_mod.force_impl("pallas" if knn_impl.startswith("pallas") else "xla")
+        if platform != host
         else contextlib.nullcontext()
     )
     with impl_ctx, jax.default_device(device):

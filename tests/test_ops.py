@@ -227,30 +227,74 @@ class TestKnn:
         ref = np.asarray(knn.knn_cosine_scores_xla(q, bank, k=3))
         np.testing.assert_allclose(out, ref, atol=1e-6)
 
-    def test_oversized_bank_dispatches_to_xla(self, rng, monkeypatch):
-        """Banks beyond the kernel's VMEM envelope must take the XLA
-        path even on TPU: a 35k-row bank (evaluate --n-normality-images
-        50 without --coreset) overflows VMEM, and inside the outer
-        jitted scoring program that failure lands at Mosaic compile
-        time where the dispatch's try/except cannot catch it."""
-        def boom(*a, **kw):  # the kernel must not even be traced
-            raise AssertionError("pallas path taken for oversized bank")
+    def test_tiled_interpret_matches_xla(self, rng):
+        """The streaming-bank kernel must match lax.top_k on a bank that
+        spans several 1024-row tiles, including a ragged final tile
+        whose padding columns must be masked out."""
+        from jax.experimental.pallas import tpu as pltpu
 
-        monkeypatch.setattr(knn, "knn_cosine_scores_pallas", boom)
+        bank = jnp.asarray(rng.random((2500, 32), dtype=np.float32))
+        q = jnp.asarray(rng.random((40, 32), dtype=np.float32))
+        ref = knn.knn_cosine_scores_xla(q, bank, k=3)
+        with pltpu.force_tpu_interpret_mode():
+            out = knn.knn_cosine_scores_pallas_tiled(q, bank, k=3)
+        # bf16x3 sims (not HIGHEST): documented fidelity is ~1e-5 absolute
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+    def test_tiled_counts_duplicates_across_tiles(self, rng):
+        """Duplicate bank rows landing in DIFFERENT bank tiles must each
+        count toward the top-k (the per-lane streaming insert sees every
+        candidate individually, so duplicates survive to the final
+        cross-lane reduction like they do under lax.top_k/sklearn)."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        base = rng.random((1500, 32)).astype(np.float32)
+        bank_np = np.concatenate([base, base[:200]])  # dups in tile 0 and 1
+        q = jnp.asarray(
+            base[:16] + 1e-3 * rng.standard_normal((16, 32)).astype(np.float32)
+        )
+        bank = jnp.asarray(bank_np)
+        ref = knn.knn_cosine_scores_xla(q, bank, k=3)
+        with pltpu.force_tpu_interpret_mode():
+            out = knn.knn_cosine_scores_pallas_tiled(q, bank, k=3)
+        # bf16x3 sims (not HIGHEST): documented fidelity is ~1e-5 absolute
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+    def test_bank_size_picks_kernel(self, rng, monkeypatch):
+        """Dispatch is size-aware: banks beyond the resident kernel's
+        VMEM envelope take the streaming-tiled kernel on TPU (they used
+        to fall back to XLA — a 35k-row bank would overflow VMEM in the
+        resident kernel at Mosaic compile time, inside the outer jitted
+        scoring program where the dispatch's try/except cannot catch
+        it), banks within it stay on the resident kernel."""
+        def resident_sentinel(*a, **kw):
+            raise AssertionError("resident kernel")
+
+        def tiled_sentinel(*a, **kw):
+            raise AssertionError("tiled kernel")
+
+        monkeypatch.setattr(knn, "knn_cosine_scores_pallas", resident_sentinel)
+        monkeypatch.setattr(
+            knn, "knn_cosine_scores_pallas_tiled", tiled_sentinel
+        )
         monkeypatch.setattr(knn.jax, "default_backend", lambda: "tpu")
+        # force: sentinel failures must not be swallowed by the fallback
+        monkeypatch.setattr(knn, "_FORCE_PALLAS", True)
         big = jnp.asarray(
             rng.random((knn.PALLAS_MAX_BANK_ROWS + 1, 8), dtype=np.float32)
         )
         q = jnp.asarray(rng.random((4, 8), dtype=np.float32))
-        out = np.asarray(knn.knn_cosine_scores(q, big, k=3))
-        ref = np.asarray(knn.knn_cosine_scores_xla(q, big, k=3))
-        np.testing.assert_allclose(out, ref, atol=1e-6)
-        # within the envelope the (fake) TPU dispatch still tries pallas
-        # (forced, so the sentinel failure is not swallowed by fallback)
-        monkeypatch.setattr(knn, "_FORCE_PALLAS", True)
+        with pytest.raises(AssertionError, match="tiled kernel"):
+            knn.knn_cosine_scores(q, big, k=3)
         small = big[: knn.PALLAS_MAX_BANK_ROWS]
-        with pytest.raises(AssertionError, match="pallas path taken"):
+        with pytest.raises(AssertionError, match="resident kernel"):
             knn.knn_cosine_scores(q, small, k=3)
+        # without force, on a non-TPU backend, both sizes take XLA
+        monkeypatch.setattr(knn, "_FORCE_PALLAS", False)
+        monkeypatch.setattr(knn.jax, "default_backend", lambda: "cpu")
+        ref = np.asarray(knn.knn_cosine_scores_xla(q, big, k=3))
+        out = np.asarray(knn.knn_cosine_scores(q, big, k=3))
+        np.testing.assert_allclose(out, ref, atol=1e-6)
 
 
 class TestShear:
