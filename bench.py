@@ -270,6 +270,25 @@ def bench_patch_scoring(rng, h, w, patch_dim=32, stride=8, bank_rows=1000, bs=8)
     return dt * 1e3 / bs, roofline
 
 
+def bench_knn_wide_bank(rng, n=6728, m=35840, d=512):
+    """(tiled_ms, xla_ms) per batch for wide-normality k-NN scoring:
+    one bs-8 patch batch (8×841 queries) against a ~42-image patch bank
+    (`evaluate --patch-level --n-normality-images 50`).  Banks this size
+    exceed the resident kernel's VMEM envelope and dispatch to the
+    streaming-tiled Pallas kernel (ops/knn.py) — measured against the
+    XLA matmul+lax.top_k path it replaced."""
+    from ssad_tpu.ops import knn
+
+    q = jnp.asarray(rng.random((n, d), dtype=np.float32))
+    bank = jnp.asarray(rng.random((m, d), dtype=np.float32))
+    xla_ms = _timeit(lambda: knn.knn_cosine_scores_xla(q, bank, k=3), 20) * 1e3
+    tiled_ms = (
+        _timeit(lambda: knn.knn_cosine_scores_pallas_tiled(q, bank, k=3), 20)
+        * 1e3
+    )
+    return tiled_ms, xla_ms
+
+
 def _probe_backend(timeout_s: float = 270.0) -> str | None:
     """Reach the backend in a SUBPROCESS with a hard timeout.
 
@@ -326,6 +345,7 @@ def main() -> None:
     patch_ms, roofline = bench_patch_scoring(rng, h, w)
     patch16_ms, _ = bench_patch_scoring(rng, h, w, bs=16)
     image_ms = bench_image_scoring(rng, h, w)
+    knn_tiled_ms, knn_xla_ms = bench_knn_wide_bank(rng)
 
     print(
         json.dumps(
@@ -342,6 +362,8 @@ def main() -> None:
                 "patch_score_ms_per_image": round(patch_ms, 3),
                 "patch_score_bs16_ms_per_image": round(patch16_ms, 3),
                 "image_score_ms_per_image": round(image_ms, 3),
+                "knn_wide_bank_tiled_ms": round(knn_tiled_ms, 3),
+                "knn_wide_bank_xla_ms": round(knn_xla_ms, 3),
                 "patch_roofline": roofline,
                 "device": jax.devices()[0].device_kind,
             }
