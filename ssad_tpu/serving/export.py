@@ -219,9 +219,13 @@ def export_scorer(
         knn_impl = "pallas_tiled" if oversized else "pallas"
     else:
         knn_impl = "xla"
+    # Always pin the dispatch while tracing — even when platform == host:
+    # the unforced auto-dispatch can silently degrade to XLA on a kernel
+    # tracing failure, and the header would then misreport the served
+    # kernel.  Forced 'pallas' raises instead of falling back.
     impl_ctx = (
         knn_mod.force_impl("pallas" if knn_impl.startswith("pallas") else "xla")
-        if platform != host
+        if scorer == "knn"
         else contextlib.nullcontext()
     )
     with impl_ctx, jax.default_device(device):

@@ -119,11 +119,24 @@ def model_config_from_hparams(hparams: Optional[Dict[str, Any]]) -> ModelConfig:
     head runs in f32 (the reference trains in fp16-autocast but stores
     f32 weights); the backbone keeps the product bf16 compute dtype."""
     hp = dict(hparams or {})
+    base_dim = int(hp.get("latent_space_layers_base_dim", 512))
+    if base_dim != 512:
+        raise ValueError(
+            f"latent_space_layers_base_dim={base_dim}: the reference always "
+            "projects the latent MLP to a fixed 512-d embedding "
+            "(models.py:137 overrides last_dim=512) while ModelConfig uses "
+            "one latent_dim for both hidden and embedding width — a "
+            "checkpoint with base_dim != 512 can't be represented here"
+        )
+    # The reference concatenates taps in FIXED ascending layer order via
+    # membership checks (models.py:240-245), ignoring the list order in
+    # hparams — normalize so the concatenator weight rows line up.
+    taps = tuple(sorted(set(hp.get("layer_outputs", ("layer2", "layer3")))))
     return ModelConfig(
         backbone="resnet18",  # hardcoded in the reference (models.py:35)
-        layer_outputs=tuple(hp.get("layer_outputs", ("layer2", "layer3"))),
+        layer_outputs=taps,
         latent_space_layers=int(hp.get("latent_space_layers", 5)),
-        latent_dim=int(hp.get("latent_space_layers_base_dim", 512)),
+        latent_dim=base_dim,
         num_classes=int(hp.get("num_classes", 4)),
         memory_bank_size=int(hp.get("memory_bank_dim", 1000)),
     )
@@ -144,13 +157,16 @@ def load_reference_checkpoint(
 
     try:
         ckpt = torch.load(path, map_location="cpu", weights_only=True)
-    except Exception:
+    except OSError:
+        raise  # missing/unreadable file — not an unpickling problem
+    except Exception as e:
         if not allow_pickle:
             raise ValueError(
-                f"{path} needs full unpickling (Lightning object in the "
-                "checkpoint); re-run with allow_pickle=True / --allow-pickle "
-                "if you trust the file"
-            )
+                f"safe load of {path} failed ({type(e).__name__}: {e}); if "
+                "this is a Lightning checkpoint carrying non-tensor objects, "
+                "re-run with allow_pickle=True / --allow-pickle if you trust "
+                "the file"
+            ) from e
         ckpt = torch.load(path, map_location="cpu", weights_only=False)
     if "state_dict" not in ckpt:
         raise ValueError(f"{path} has no 'state_dict' — not a Lightning checkpoint")
@@ -160,13 +176,22 @@ def load_reference_checkpoint(
     cfg = model_config_from_hparams(ckpt.get("hyper_parameters"))
     raw_params, raw_stats = convert_peranet_state_dict(sd)
 
-    # cast/validate against a template init of the configured model
+    # cast/validate against a shape/dtype template of the configured
+    # model — eval_shape, not a real init: _cast_like only reads leaf
+    # shape/dtype, and a concrete init on this host would pay a tunneled
+    # TPU compile for pure host-side conversion work.
     import jax
+    import jax.numpy as jnp
 
-    from ssad_tpu.models.peranet import build_model, init_model
+    from ssad_tpu.models.peranet import build_model
 
     model = build_model(cfg)
-    t_params, t_stats = init_model(model, jax.random.key(0), (1, 64, 64, 3))
+    variables = jax.eval_shape(
+        lambda: model.init(
+            jax.random.key(0), jnp.zeros((1, 64, 64, 3), jnp.float32), train=False
+        )
+    )
+    t_params, t_stats = variables["params"], variables["batch_stats"]
     params = _cast_like(t_params, raw_params)
     batch_stats = _cast_like(t_stats, raw_stats)
 

@@ -100,7 +100,8 @@ def load_resnet18_into(params: dict, path: str, batch_stats: dict | None = None)
 
 
 def _cast_like(template, source):
-    """Match dtypes/structure of the flax template tree."""
+    """Match dtypes/structure of the flax template tree (concrete arrays
+    or jax.eval_shape ShapeDtypeStructs — only .shape/.dtype are read)."""
     import jax
 
     out = source
@@ -112,7 +113,7 @@ def _cast_like(template, source):
         arr = np.asarray(node)
         if arr.shape != leaf_t.shape:
             raise ValueError(f"shape mismatch at {path}: {arr.shape} vs {leaf_t.shape}")
-        return arr.astype(np.asarray(leaf_t).dtype)
+        return arr.astype(leaf_t.dtype)
 
     rebuilt = jax.tree_util.tree_map_with_path(lambda p, l: cast(p, l), template)
     return rebuilt

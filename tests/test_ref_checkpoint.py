@@ -255,6 +255,22 @@ class TestLightningCheckpointImport:
         )
         assert cfg.num_classes == 3 and cfg.memory_bank_size == 500
 
+    def test_tap_order_normalized_to_reference_concat_order(self):
+        # the reference concatenates taps in fixed ascending order via
+        # membership checks (models.py:240-245) regardless of hparams
+        # list order — a permuted list must not permute concatenator rows
+        cfg = model_config_from_hparams({"layer_outputs": ["layer3", "layer2"]})
+        assert cfg.layer_outputs == ("layer2", "layer3")
+
+    def test_unrepresentable_base_dim_raises_clearly(self):
+        with pytest.raises(ValueError, match="base_dim"):
+            model_config_from_hparams({"latent_space_layers_base_dim": 256})
+
+    def test_missing_file_raises_file_not_found(self):
+        # must NOT be converted into a misleading --allow-pickle hint
+        with pytest.raises(FileNotFoundError):
+            load_reference_checkpoint("/nonexistent/best_model.ckpt")
+
     def test_empty_bank_is_none(self, tmp_path):
         ckpt = lightning_checkpoint()
         ckpt["memory_bank"] = torch.tensor([])
