@@ -45,6 +45,15 @@ def extract_patches_shuffled(x: jax.Array, dim: int, stride: int):
     6.3M-index gather costs ~7 ms/batch on TPU; this path is ~0).
     Consumers that reduce per-patch (k-NN scores) should prefer this
     and reorder the small score vector instead of the patch tensor.
+
+    The slicing runs in a merged (W·C) lane layout: TPU pads the minor
+    (lane) dimension to 128, so transposing with minor dims (dim, C=3)
+    materializes intermediates at ~42× their logical size (measured
+    142 MB/image of traffic for ~5 MB of patches at 256px/32/8).
+    Reshaping (B, H, W, C) → (B, H, W·C) once keeps lanes dense through
+    every slice/transpose (dim·C = 96 pads only to 128), and the final
+    split of C back out of the minor dim is a free row-major reshape —
+    measured 0.27 → 0.14 ms/image, 142 → 73 MB/image on v5e.
     """
     b, h, w, c = x.shape
     oh = grid_side(h, dim, stride)
@@ -57,6 +66,7 @@ def extract_patches_shuffled(x: jax.Array, dim: int, stride: int):
         return p.reshape(b, oh * ow, dim, dim, c), jnp.arange(oh * ow)
 
     k = dim // stride
+    xm = x.reshape(b, h, w * c)
     parts = []
     positions = []
     for i in range(k):
@@ -66,14 +76,14 @@ def extract_patches_shuffled(x: jax.Array, dim: int, stride: int):
             nw = (w - xs) // dim
             if nh <= 0 or nw <= 0:
                 continue
-            sub = x[:, ys : ys + nh * dim, xs : xs + nw * dim, :]
-            sub = sub.reshape(b, nh, dim, nw, dim, c)
-            sub = sub.transpose(0, 1, 3, 2, 4, 5).reshape(b, nh * nw, dim, dim, c)
+            sub = xm[:, ys : ys + nh * dim, xs * c : (xs + nw * dim) * c]
+            sub = sub.reshape(b, nh, dim, nw, dim * c)
+            sub = sub.transpose(0, 1, 3, 2, 4).reshape(b, nh * nw, dim, dim * c)
             parts.append(sub)
             for r in range(nh):
                 for cc in range(nw):
                     positions.append((i + r * k) * ow + (j + cc * k))
-    patches = jnp.concatenate(parts, axis=1)
+    patches = jnp.concatenate(parts, axis=1).reshape(b, -1, dim, dim, c)
     pos = np.asarray(positions)
     inv = np.empty_like(pos)
     inv[pos] = np.arange(len(pos))
