@@ -49,6 +49,11 @@ class InferenceEngine:
     #: only where stem_pool.fused_available() says the fused path is
     #: profitable/compilable (CPU: XLA impl; TPU: probe-gated Pallas)
     fused_stem: bool = True
+    #: opt-in output-parity s2d stem for sliding-grid scoring — a
+    #: measured NEGATIVE result on current v5e XLA (stem_pool_s2d
+    #: docstring records the numbers); kept selectable for equivalence
+    #: tests and future compiler stacks
+    s2d_stem: bool = False
 
     def __post_init__(self):
         # variables travel as jit ARGUMENTS, not closure constants:
@@ -57,6 +62,7 @@ class InferenceEngine:
         # large backbones (wide_resnet50_2's ~270 MB of f32 weights)
         model = self.model
         use_fused_stem = self.fused_stem
+        use_s2d_stem = self.s2d_stem
 
         def patch_forward(variables, flat):
             """Forward a (N, d, d, 3) patch batch; 32×32 patches take
@@ -82,6 +88,53 @@ class InferenceEngine:
                 )
             return model.apply(variables, flat, train=False)
 
+        def embed_grid(variables, x, dim, stride):
+            """Sliding-grid extraction + forward → (outputs, inv, b, n).
+
+            With ``s2d_stem`` enabled, 32×32 grids with an even stride
+            run the output-parity fused stem (ops/stem_pool.
+            stem_pool_s2d): patches are extracted directly in
+            space-to-depth layout (same grid, same inverse permutation —
+            tested) and the parity conv + shifted-max pool replace the
+            stem→maxpool round trip of the module path.  OFF by default:
+            measured on v5e the parity-conv route loses despite the
+            traffic argument (see stem_pool_s2d docstring) — the flag
+            exists for future XLA stacks and for equivalence tests.
+            Default geometries take plain extraction + patch_forward."""
+            from ssad_tpu.ops import stem_pool
+
+            if (
+                use_s2d_stem
+                and dim == 32
+                and stride % 2 == 0
+                and x.shape[1] % 2 == 0
+                and x.shape[2] % 2 == 0
+            ):
+                xs = stem_pool.s2d_image(x.astype(jnp.bfloat16))
+                p, inv = patches_mod.extract_patches_shuffled(
+                    xs, dim=16, stride=stride // 2
+                )
+                b, n = p.shape[0], p.shape[1]
+                flat = p.reshape((b * n,) + p.shape[2:])
+                bb_p = variables["params"]["backbone"]
+                bb_s = variables["batch_stats"]["backbone"]
+                k4 = stem_pool.fold_stem_kernel(bb_p["conv1"]["kernel"])
+                scale, bias = stem_pool.bn_affine(
+                    bb_p["bn1"]["scale"], bb_p["bn1"]["bias"],
+                    bb_s["bn1"]["mean"], bb_s["bn1"]["var"],
+                )
+                pooled = stem_pool.stem_pool_s2d(flat, k4, scale, bias)
+                out = model.apply(
+                    variables, pooled, train=False, method=PeraNet.from_stem
+                )
+                return out, inv, b, n
+            p, inv = patches_mod.extract_patches_shuffled(
+                x.astype(jnp.bfloat16), dim=dim, stride=stride
+            )
+            b, n = p.shape[0], p.shape[1]
+            flat = p.reshape((b * n,) + p.shape[2:])
+            return patch_forward(variables, flat), inv, b, n
+
         @jax.jit
         def forward(variables, x):
             out = model.apply(variables, x, train=False)
@@ -96,12 +149,7 @@ class InferenceEngine:
             # — the gather is 512× cheaper.
             from ssad_tpu.ops.knn import knn_cosine_scores
 
-            p, inv = patches_mod.extract_patches_shuffled(
-                x.astype(jnp.bfloat16), dim=dim, stride=stride
-            )
-            b, n = p.shape[0], p.shape[1]
-            flat = p.reshape((b * n,) + p.shape[2:])
-            out = patch_forward(variables, flat)
+            out, inv, b, n = embed_grid(variables, x, dim, stride)
             scores = knn_cosine_scores(out["latent_space"], bank, k=k)
             side = int(round(n ** 0.5))
             maps = scores.reshape(b, n)[:, inv].reshape(b, side, side)
@@ -117,12 +165,7 @@ class InferenceEngine:
             # by one (B·P, D) × (D, D) precision matmul
             from ssad_tpu.models.detector import mahalanobis_distances
 
-            p, inv = patches_mod.extract_patches_shuffled(
-                x.astype(jnp.bfloat16), dim=dim, stride=stride
-            )
-            b, n = p.shape[0], p.shape[1]
-            flat = p.reshape((b * n,) + p.shape[2:])
-            out = patch_forward(variables, flat)
+            out, inv, b, n = embed_grid(variables, x, dim, stride)
             scores = mahalanobis_distances(out["latent_space"], mean, precision)
             side = int(round(n ** 0.5))
             maps = scores.reshape(b, n)[:, inv].reshape(b, side, side)
@@ -136,14 +179,7 @@ class InferenceEngine:
             # row-major patch order.  The gather-free tiled extraction
             # produces patches in tiling order; outputs are permuted
             # back (small static row gathers).
-            # bf16 before extraction: halves the layout-op traffic, the
-            # backbone casts to bf16 at entry anyway
-            p, inv = patches_mod.extract_patches_shuffled(
-                x.astype(jnp.bfloat16), dim=dim, stride=stride
-            )
-            b, n = p.shape[0], p.shape[1]
-            flat = p.reshape((b * n,) + p.shape[2:])
-            out = patch_forward(variables, flat)
+            out, inv, b, n = embed_grid(variables, x, dim, stride)
             logits, emb = out["classifier"], out["latent_space"]
             logits = logits.reshape(b, n, -1)[:, inv].reshape(b * n, -1)
             emb = emb.reshape(b, n, -1)[:, inv].reshape(b * n, -1)

@@ -127,6 +127,100 @@ def _maxpool3s2(y):
     return y
 
 
+def s2d_image(x):
+    """(B, H, W, C) → (B, H/2, W/2, 4C) space-to-depth; channel order
+    (α, β, c) — the sub-pixel row parity α is the slowest — matching
+    ``s2d_conv_kernel`` and resnet.StemConv's s2d construction."""
+    b, h, w, c = x.shape
+    return (
+        x.reshape(b, h // 2, 2, w // 2, 2, c)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(b, h // 2, w // 2, 4 * c)
+    )
+
+
+def s2d_conv_kernel(k4):
+    """(4, 4, 3, F) folded stem kernel → the (3, 3, 12, 4F) output-parity
+    kernel W′ with conv-output parity (a, b) stacked in channel group
+    a·2+b: conv(s2d(x), W′)[p, q, (a·2+b)·F+f] == conv(x, k4)[2p+a, 2q+b, f].
+
+    Derivation: tap ky of output row i = 2p+a reads input row
+    i+ky−2 = 2(p+δ)+α with (δ, α) = divmod(a+ky−2, 2), so per parity the
+    4 taps land on 4 distinct (δ+1, α) slots of a 3-row × 2-parity grid —
+    i.e. pad k4's rows to 6 with `a` leading zeros and fold (3, 2), and
+    likewise for columns.  The original conv's asymmetric (2, 1) padding
+    becomes exactly the symmetric (1, 1) s2d padding.  60 of the 108
+    taps are structural zeros (2.25× logical stem FLOPs), but the MXU
+    pads the K=48 contraction far past that anyway, and N goes 64 → 256
+    (full lanes instead of half)."""
+    f = k4.shape[-1]
+    groups = []
+    for a in range(2):
+        for b in range(2):
+            wa = jnp.pad(k4, ((a, 2 - a), (b, 2 - b), (0, 0), (0, 0)))
+            groups.append(
+                wa.reshape(3, 2, 3, 2, 3, f)
+                .transpose(0, 2, 1, 3, 4, 5)
+                .reshape(3, 3, 12, f)
+            )
+    return jnp.concatenate(groups, axis=-1)
+
+
+def _shift_down(t, axis):
+    """out[i] = t[i−1] along `axis`, zero-filled at i=0 (zero is a
+    neutral pool pad for post-ReLU values)."""
+    pad = [(0, 0)] * t.ndim
+    pad[axis] = (1, 0)
+    sl = [slice(None)] * t.ndim
+    sl[axis] = slice(0, -1)
+    return jnp.pad(t[tuple(sl)], pad)
+
+
+def stem_pool_s2d(xs2d, k4, scale, bias):
+    """Fused folded-stem + BN + ReLU + 3×3/s2 maxpool via output-parity
+    decomposition — pure XLA, so it works where Mosaic rejects the
+    Pallas kernel (module docstring).  The full-resolution 32×32×F conv
+    output (110 MB/image written + re-read by the pool in the unfused
+    program — bench.py patch_roofline) never exists: the parity conv
+    writes the SAME values already folded to 16×16×4F, and the pool is
+    a 9-term shifted elementwise max across parity groups.
+
+    xs2d: (N, 16, 16, 12) space-to-depth 32×32 patches (``s2d_image``);
+    k4: (4,4,3,F) folded kernel; scale/bias: (F,) inference-BN affine.
+    Returns (N, 16, 16, F), numerically the conv→affine→ReLU→pool chain
+    of ``stem_pool_xla`` (bf16 rounding before the max is exact:
+    rounding is monotone, max commutes with it).
+
+    MEASURED OUTCOME (2026-08, v5e, bs-8 sliding grid @256px/32/8): a
+    NEGATIVE result, like the Pallas kernel above — XLA's conv emitter
+    defeats the traffic argument.  The unfused module stem (C=3 4×4
+    conv + reduce-window pool) runs 0.506 ms/image end-to-end; this
+    route measured 1.60 ms/image (one 256-wide parity conv, parity
+    slices off a 6-D reshape: 1069 MB/image of layout copies), 1.72
+    with contiguous 64-channel lane slices, 0.837 with four separate
+    parity convs — the (3,3,12,·) convs themselves execute at ~18% MFU
+    (0.301 ms for 11 GFLOP), so even the best pooling structure loses
+    2×.  Kept (tested, engine-selectable via InferenceEngine.s2d_stem)
+    for future compiler stacks where small-C conv emitters improve.
+    """
+    n = xs2d.shape[0]
+    f = k4.shape[-1]
+    w = s2d_conv_kernel(k4).astype(xs2d.dtype)
+    y = jax.lax.conv_general_dilated(
+        xs2d, w, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    y = jnp.maximum(y * jnp.tile(scale, 4) + jnp.tile(bias, 4), 0.0)
+    a = y.astype(xs2d.dtype).reshape(n, y.shape[1], y.shape[2], 2, 2, f)
+    # pool window rows {2p−1, 2p, 2p+1} = parity terms (a=1, δ=−1),
+    # (a=0, 0), (a=1, 0); reduce columns first, then rows
+    ab0, ab1 = a[..., 0, :], a[..., 1, :]
+    col = jnp.maximum(jnp.maximum(_shift_down(ab1, 2), ab0), ab1)
+    ca0, ca1 = col[..., 0, :], col[..., 1, :]
+    return jnp.maximum(jnp.maximum(_shift_down(ca1, 1), ca0), ca1)
+
+
 def stem_pool_xla(x, k4, scale, bias):
     """Reference XLA implementation (CPU fused path + test oracle).
 

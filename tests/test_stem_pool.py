@@ -66,6 +66,65 @@ class TestStemPoolXla:
         )
 
 
+class TestStemPoolS2d:
+    def test_matches_xla_oracle(self, rng):
+        """The output-parity conv + shifted-max pool must equal the
+        im2col oracle: f32 within matmul reassociation tolerance, bf16
+        BIT-EXACT (identical tap sums — the parity kernel's extra taps
+        are structural zeros; rounding before the max commutes)."""
+        x = jnp.asarray(rng.random((5, 32, 32, 3), dtype=np.float32))
+        k4 = jnp.asarray(rng.standard_normal((4, 4, 3, 64)).astype(np.float32)) * 0.1
+        scale = jnp.asarray(rng.random(64, dtype=np.float32)) + 0.5
+        bias = jnp.asarray(rng.standard_normal(64).astype(np.float32)) * 0.1
+        ref = sp.stem_pool_xla(x, k4, scale, bias)
+        out = sp.stem_pool_s2d(sp.s2d_image(x), k4, scale, bias)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+        xb = x.astype(jnp.bfloat16)
+        k4b = k4.astype(jnp.bfloat16)
+        refb = sp.stem_pool_xla(xb, k4b, scale, bias)
+        outb = sp.stem_pool_s2d(sp.s2d_image(xb), k4b, scale, bias)
+        assert np.array_equal(
+            np.asarray(refb, dtype=np.float32), np.asarray(outb, dtype=np.float32)
+        )
+
+    def test_engine_s2d_route_matches_default(self, rng):
+        """The opt-in s2d_stem engine route must score identically to
+        the default path (f32 tolerance) — extraction, stem, backbone
+        resume, k-NN and map assembly all swap representation."""
+        from ssad_tpu.evaluation.inference import InferenceEngine
+        from ssad_tpu.models.detector import AnomalyDetector
+
+        model = build_model(ModelConfig(compute_dtype="float32"))
+        params, stats = init_model(model, jax.random.key(0), (1, 64, 64, 3))
+        bank = jnp.asarray(rng.random((64, 512), dtype=np.float32))
+        det = AnomalyDetector(k=3).fit(bank, jax.random.key(0))
+        x = jnp.asarray(rng.random((2, 64, 64, 3), dtype=np.float32))
+
+        s2d = InferenceEngine(model, params, stats, s2d_stem=True)
+        plain = InferenceEngine(model, params, stats, fused_stem=False)
+        m_s2d = np.asarray(s2d.score_patch_maps(x, det.bank, dim=32, stride=8, k=3))
+        m_plain = np.asarray(plain.score_patch_maps(x, det.bank, dim=32, stride=8, k=3))
+        np.testing.assert_allclose(m_s2d, m_plain, rtol=5e-3, atol=1e-4)
+
+    def test_extraction_commutes_with_s2d(self, rng):
+        """Extracting (16, 16, 12) patches at stride s/2 from the s2d
+        image must equal s2d-ing each (32, 32, 3) patch extracted at
+        stride s — same grid, same inverse permutation — so the engine's
+        s2d route scores the identical window set."""
+        from ssad_tpu.ops import patches as P
+
+        img = jnp.asarray(rng.random((2, 128, 128, 3), dtype=np.float32))
+        p1, inv1 = P.extract_patches_shuffled(img, 32, 8)
+        ps, inv2 = P.extract_patches_shuffled(sp.s2d_image(img), 16, 4)
+        assert np.array_equal(np.asarray(inv1), np.asarray(inv2))
+        b, n = p1.shape[0], p1.shape[1]
+        p1s = sp.s2d_image(p1.reshape((b * n,) + p1.shape[2:])).reshape(
+            b, n, 16, 16, 12
+        )
+        assert np.array_equal(np.asarray(p1s), np.asarray(ps))
+
+
 class TestStemPoolPallas:
     def test_interpret_matches_xla(self, rng):
         """The parity-plane Mosaic kernel (interpreted) must reproduce
