@@ -189,7 +189,11 @@ def stem_pool_s2d(xs2d, k4, scale, bias):
     k4: (4,4,3,F) folded kernel; scale/bias: (F,) inference-BN affine.
     Returns (N, 16, 16, F), numerically the conv→affine→ReLU→pool chain
     of ``stem_pool_xla`` (bf16 rounding before the max is exact:
-    rounding is monotone, max commutes with it).
+    rounding is monotone, max commutes with it).  Bit-exactness of the
+    bf16 values was observed on the TPU emitter; it is not guaranteed —
+    f32 accumulation order differs between the (4,4,3,F) and (3,3,12,F)
+    convs, so sums near a bf16 rounding boundary can flip the last bit
+    (CPU: ~4e-5 of elements, 1 ulp; tests encode that tolerance).
 
     MEASURED OUTCOME (2026-08, v5e, bs-8 sliding grid @256px/32/8): a
     NEGATIVE result, like the Pallas kernel above — XLA's conv emitter

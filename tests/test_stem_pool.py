@@ -70,8 +70,15 @@ class TestStemPoolS2d:
     def test_matches_xla_oracle(self, rng):
         """The output-parity conv + shifted-max pool must equal the
         im2col oracle: f32 within matmul reassociation tolerance, bf16
-        BIT-EXACT (identical tap sums — the parity kernel's extra taps
-        are structural zeros; rounding before the max commutes)."""
+        within ONE ulp on a vanishing fraction of elements.  Both paths
+        accumulate the same 48 taps in f32 and round to bf16 once (the
+        parity kernel's extra taps are structural zeros; rounding before
+        the max commutes) — but f32 addition isn't associative, so a
+        different emitter's summation tree can flip the last bf16 bit
+        when the exact sum lands near a rounding boundary.  On the TPU
+        implicit-GEMM emitter the two were observed bit-exact; CPU's
+        conv emitter produces ~3/81920 one-ulp flips, which is what this
+        tolerance encodes."""
         x = jnp.asarray(rng.random((5, 32, 32, 3), dtype=np.float32))
         k4 = jnp.asarray(rng.standard_normal((4, 4, 3, 64)).astype(np.float32)) * 0.1
         scale = jnp.asarray(rng.random(64, dtype=np.float32)) + 0.5
@@ -82,11 +89,14 @@ class TestStemPoolS2d:
 
         xb = x.astype(jnp.bfloat16)
         k4b = k4.astype(jnp.bfloat16)
-        refb = sp.stem_pool_xla(xb, k4b, scale, bias)
-        outb = sp.stem_pool_s2d(sp.s2d_image(xb), k4b, scale, bias)
-        assert np.array_equal(
-            np.asarray(refb, dtype=np.float32), np.asarray(outb, dtype=np.float32)
+        refb = np.asarray(sp.stem_pool_xla(xb, k4b, scale, bias), np.float32)
+        outb = np.asarray(
+            sp.stem_pool_s2d(sp.s2d_image(xb), k4b, scale, bias), np.float32
         )
+        # ≤ 1 bf16 ulp (eps = 2^-7) relative, and near-exact overall
+        np.testing.assert_allclose(outb, refb, rtol=2.0 ** -7, atol=0.0)
+        mismatch = np.count_nonzero(outb != refb) / outb.size
+        assert mismatch < 1e-3, f"too many last-bit flips: {mismatch:.2e}"
 
     def test_engine_s2d_route_matches_default(self, rng):
         """The opt-in s2d_stem engine route must score identically to
