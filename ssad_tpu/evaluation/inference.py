@@ -75,13 +75,7 @@ class InferenceEngine:
                 and flat.shape[2] == 32
                 and stem_pool.fused_available()
             ):
-                bb_p = variables["params"]["backbone"]
-                bb_s = variables["batch_stats"]["backbone"]
-                k4 = stem_pool.fold_stem_kernel(bb_p["conv1"]["kernel"])
-                scale, bias = stem_pool.bn_affine(
-                    bb_p["bn1"]["scale"], bb_p["bn1"]["bias"],
-                    bb_s["bn1"]["mean"], bb_s["bn1"]["var"],
-                )
+                k4, scale, bias = stem_pool.folded_stem_affine(variables)
                 x_stem = stem_pool.stem_pool(flat, k4, scale, bias)
                 return model.apply(
                     variables, x_stem, train=False, method=PeraNet.from_stem
@@ -116,13 +110,7 @@ class InferenceEngine:
                 )
                 b, n = p.shape[0], p.shape[1]
                 flat = p.reshape((b * n,) + p.shape[2:])
-                bb_p = variables["params"]["backbone"]
-                bb_s = variables["batch_stats"]["backbone"]
-                k4 = stem_pool.fold_stem_kernel(bb_p["conv1"]["kernel"])
-                scale, bias = stem_pool.bn_affine(
-                    bb_p["bn1"]["scale"], bb_p["bn1"]["bias"],
-                    bb_s["bn1"]["mean"], bb_s["bn1"]["var"],
-                )
+                k4, scale, bias = stem_pool.folded_stem_affine(variables)
                 pooled = stem_pool.stem_pool_s2d(flat, k4, scale, bias)
                 out = model.apply(
                     variables, pooled, train=False, method=PeraNet.from_stem

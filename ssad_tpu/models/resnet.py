@@ -71,13 +71,12 @@ class StemConv(nn.Module):
             # length goes 147 → 192 (one zero tap row/col), but the
             # stride-2 gather pattern disappears and the input layout is
             # channel-denser; measured on the fused train step either
-            # way (bench.py "train_step_s2d_ms").
-            b, h, w, c = x.shape
-            x = (
-                x.reshape(b, h // 2, 2, w // 2, 2, c)
-                .transpose(0, 1, 3, 2, 4, 5)
-                .reshape(b, h // 2, w // 2, 4 * c)
-            )
+            # way (bench.py "train_step_s2d_ms").  The (α, β, c) channel
+            # layout lives ONCE in ops/stem_pool.s2d_image — the kernel
+            # fold below and stem_pool.s2d_conv_kernel both assume it.
+            from ssad_tpu.ops.stem_pool import s2d_image
+
+            x = s2d_image(x)
             # tap u = a − 4 for padded row index a ∈ 0..7 (u = −4 is the
             # zero tap); a = 2·kr + dr splits into block kr and sub-pixel
             # dr, matching the (dr, dc, c) channel order of the reshape

@@ -92,6 +92,23 @@ def bn_affine(scale, bias, mean, var, eps: float = 1e-5):
     return s, bias - mean * s
 
 
+def folded_stem_affine(variables, eps: float = 1e-5):
+    """(folded 4×4 kernel, BN scale', BN bias') from a PeraNet variables
+    tree — the ONE place the stem-folding parameter paths live (backbone
+    conv1 kernel + bn1 affine over running stats).  Both fused-stem
+    inference routes (patch_forward and the s2d branch of embed_grid,
+    evaluation/inference.py) call this, so a BN-eps or param-path change
+    cannot diverge them."""
+    bb_p = variables["params"]["backbone"]
+    bb_s = variables["batch_stats"]["backbone"]
+    k4 = fold_stem_kernel(bb_p["conv1"]["kernel"])
+    scale, bias = bn_affine(
+        bb_p["bn1"]["scale"], bb_p["bn1"]["bias"],
+        bb_s["bn1"]["mean"], bb_s["bn1"]["var"], eps,
+    )
+    return k4, scale, bias
+
+
 def _im2col_4x4(x):
     """(N, 32, 32, 3) → (N·1024, 48) with padding (2,1) per axis and tap
     order (ky, kx, c) — matching a (4,4,3,F)→(48,F) kernel reshape."""
