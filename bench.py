@@ -21,7 +21,8 @@ extra measurements ride as additional keys:
    "train_step_ms": N, "train_images_per_sec": N, "train_mfu": N,
    "train_step_fill32_ms": N, "train_step_s2d_ms": N,
    "patch_score_ms_per_image": N, "patch_score_bs16_ms_per_image": N,
-   "image_score_ms_per_image": N, "patch_roofline": {...}, "device": ...}
+   "image_score_ms_per_image": N, "pixel_metrics_device_ms": N,
+   "pixel_metrics_host_ms": N, "patch_roofline": {...}, "device": ...}
 
 The patch_roofline block is the decomposition behind any cross-device
 claim: XLA cost-analysis FLOPs + bytes, the chip's peak FLOP/s and HBM
@@ -289,6 +290,49 @@ def bench_knn_wide_bank(rng, n=6728, m=35840, d=512):
     return tiled_ms, xla_ms
 
 
+def bench_pixel_metrics(rng, n_images=120, h=256, w=256):
+    """(device_ms, host_ms) for the full pixel-metric set of one
+    category (ROC AUC + optimal-F1 threshold + IoU + official AUPRO) at
+    a typical MVTec test-set size: the fused one-sort device program
+    (evaluation/metrics_device.py) vs the host numpy oracles (three
+    argsorts over n_images·256² f64 pixels, reference metrics.py:59-161
+    runs the same sweep on CPU)."""
+    import time as _time
+
+    from ssad_tpu.evaluation import metrics as M
+    from ssad_tpu.evaluation import metrics_device as MD
+
+    gts = np.zeros((n_images, h, w), np.uint8)
+    for i in range(n_images):
+        if rng.random() < 0.6:
+            for _ in range(int(rng.integers(1, 4))):
+                cy, cx = int(rng.integers(8, h - 8)), int(rng.integers(8, w - 8))
+                r = int(rng.integers(4, 20))
+                yy, xx = np.ogrid[:h, :w]
+                gts[i][(yy - cy) ** 2 + (xx - cx) ** 2 <= r * r] = 1
+    maps = (gts * 0.6 + rng.normal(0.3, 0.25, gts.shape)).astype(np.float32)
+
+    t0 = _time.perf_counter()
+    labels = gts.ravel() > 0
+    scores = maps.ravel()
+    fpr, tpr, _ = M.roc_curve(labels, scores)
+    M.auc(fpr, tpr)
+    thr = M.optimal_f1_threshold(labels, scores)
+    M.iou_score(gts.ravel(), scores, thr)
+    fprs, pros = M.compute_pro(maps, gts)
+    M.compute_aupro(fprs, pros, 0.3)
+    host_ms = (_time.perf_counter() - t0) * 1e3
+
+    maps_dev = jax.device_put(maps)
+    MD.pixel_metrics(maps_dev, gts)  # compile + warm
+    best = float("inf")
+    for _ in range(4):
+        t0 = _time.perf_counter()
+        MD.pixel_metrics(maps_dev, gts)
+        best = min(best, _time.perf_counter() - t0)
+    return best * 1e3, host_ms
+
+
 def _probe_backend(timeout_s: float = 270.0) -> str | None:
     """Reach the backend in a SUBPROCESS with a hard timeout.
 
@@ -346,6 +390,7 @@ def main() -> None:
     patch16_ms, _ = bench_patch_scoring(rng, h, w, bs=16)
     image_ms = bench_image_scoring(rng, h, w)
     knn_tiled_ms, knn_xla_ms = bench_knn_wide_bank(rng)
+    pxm_dev_ms, pxm_host_ms = bench_pixel_metrics(rng)
 
     print(
         json.dumps(
@@ -364,6 +409,8 @@ def main() -> None:
                 "image_score_ms_per_image": round(image_ms, 3),
                 "knn_wide_bank_tiled_ms": round(knn_tiled_ms, 3),
                 "knn_wide_bank_xla_ms": round(knn_xla_ms, 3),
+                "pixel_metrics_device_ms": round(pxm_dev_ms, 2),
+                "pixel_metrics_host_ms": round(pxm_host_ms, 2),
                 "patch_roofline": roofline,
                 "device": jax.devices()[0].device_kind,
             }

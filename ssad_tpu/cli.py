@@ -221,6 +221,7 @@ def cmd_evaluate(args) -> int:
         data_shards=args.data_shards,
         n_normality_images=args.n_normality_images,
         coreset=args.coreset,
+        device_metrics=False if args.host_metrics else None,
     )
     results = evaluate_categories(
         args.dataset_dir, args.models_dir, _subjects(args), cfg, args.outputs_dir
@@ -1310,6 +1311,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="distill normality to N rows by k-center-greedy "
                         "coreset selection before fitting the detector "
                         "(default: keep every row)")
+    e.add_argument("--host-metrics", action="store_true",
+                   help="force the host numpy metric oracles instead of "
+                        "the fused on-device pixel-metrics program "
+                        "(default: device metrics on accelerators)")
     e.set_defaults(fn=cmd_evaluate)
 
     inf_p = sub.add_parser(

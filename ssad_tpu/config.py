@@ -233,3 +233,9 @@ class EvalConfig:
     #: devices (parallel/infer_parallel.ShardedEngine); None/1 = single
     #: device (the reference's only mode, tools.py:327 devices=1)
     data_shards: Optional[int] = None
+    #: pixel metrics (ROC AUC / optimal-F1 / IoU / AUPRO) fused into ONE
+    #: on-device sort program (evaluation/metrics_device.py) instead of
+    #: three host argsorts over every test pixel.  None = auto: on when
+    #: the default backend is an accelerator, off on CPU (where the host
+    #: oracles are as fast and bit-match the reference algorithms).
+    device_metrics: Optional[bool] = None

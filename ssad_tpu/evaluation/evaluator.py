@@ -215,6 +215,20 @@ def _render_eval_gradcams(
 # --- per-category full evaluation -------------------------------------------
 
 
+def _use_device_metrics(cfg: EvalConfig, gts: np.ndarray) -> bool:
+    """Fused on-device pixel metrics (metrics_device.py) when enabled —
+    auto: accelerator backends only — and the problem is non-degenerate
+    (the device program requires both pixel classes; the host oracles
+    keep their degenerate-input behavior)."""
+    use = cfg.device_metrics
+    if use is None:
+        use = jax.default_backend() != "cpu"
+    if not use:
+        return False
+    pos = (gts > 0).any()
+    return bool(pos) and not bool((gts > 0).all())
+
+
 @dataclasses.dataclass
 class CategoryResult:
     subject: str
@@ -327,10 +341,18 @@ def evaluate_category(
         flat_gt = gts.ravel() > 0
         flat_scores = np.nan_to_num(cam_maps.ravel())
         if flat_gt.any() and not flat_gt.all():
-            fpr_px, tpr_px, _ = M.roc_curve(flat_gt, flat_scores)
-            result.gradcam_pixel_auroc = M.auc(fpr_px, tpr_px)
-            fprs_pro, pros = M.compute_pro(cam_maps, gts)
-            result.gradcam_aupro = M.compute_aupro(fprs_pro, pros, cfg.aupro_fpr_limit)
+            if _use_device_metrics(cfg, gts):
+                from ssad_tpu.evaluation import metrics_device as MD
+
+                pm = MD.pixel_metrics(cam_maps, gts, fpr_limit=cfg.aupro_fpr_limit)
+                result.gradcam_pixel_auroc = pm.auroc
+                result.gradcam_aupro = pm.aupro
+                (fpr_px, tpr_px), (fprs_pro, pros) = pm.roc, pm.pro
+            else:
+                fpr_px, tpr_px, _ = M.roc_curve(flat_gt, flat_scores)
+                result.gradcam_pixel_auroc = M.auc(fpr_px, tpr_px)
+                fprs_pro, pros = M.compute_pro(cam_maps, gts)
+                result.gradcam_aupro = M.compute_aupro(fprs_pro, pros, cfg.aupro_fpr_limit)
 
         if outputs_dir:
             from ssad_tpu.evaluation import visualization as vis
@@ -401,19 +423,38 @@ def evaluate_category(
                     k=cfg.knn_k, upsample_to=cfg.upsample_size,
                 )
             maps_list.append(maps[:b])
-        anomaly_maps = np.concatenate([np.asarray(m) for m in maps_list], axis=0)
         gts = np.asarray(test_data.ground_truths)
 
-        labels_flat = gts.ravel()
-        scores_flat = np.nan_to_num(anomaly_maps.ravel())
-        fpr, tpr, _ = M.roc_curve(labels_flat > 0, scores_flat)
-        result.pixel_auroc = M.auc(fpr, tpr)
-        result.pixel_roc = (fpr, tpr)
-        thr = M.optimal_f1_threshold(labels_flat > 0, scores_flat)
-        result.iou = M.iou_score(labels_flat, scores_flat, thr)
-        fprs, pros = M.compute_pro(anomaly_maps, gts)
-        result.aupro = M.compute_aupro(fprs, pros, cfg.aupro_fpr_limit)
-        result.pro_curve = (fprs, pros)
+        if _use_device_metrics(cfg, gts):
+            # maps never leave the chip: one fused sort program returns
+            # the scalars + downsampled plot curves
+            from ssad_tpu.evaluation import metrics_device as MD
+
+            pm = MD.pixel_metrics(
+                jnp.concatenate(maps_list, axis=0), gts,
+                fpr_limit=cfg.aupro_fpr_limit,
+            )
+            result.pixel_auroc = pm.auroc
+            result.pixel_roc = pm.roc
+            result.iou = pm.iou
+            result.aupro = pm.aupro
+            result.pro_curve = pm.pro
+            fpr, tpr = pm.roc
+            fprs, pros = pm.pro
+        else:
+            anomaly_maps = np.concatenate(
+                [np.asarray(m) for m in maps_list], axis=0
+            )
+            labels_flat = gts.ravel()
+            scores_flat = np.nan_to_num(anomaly_maps.ravel())
+            fpr, tpr, _ = M.roc_curve(labels_flat > 0, scores_flat)
+            result.pixel_auroc = M.auc(fpr, tpr)
+            result.pixel_roc = (fpr, tpr)
+            thr = M.optimal_f1_threshold(labels_flat > 0, scores_flat)
+            result.iou = M.iou_score(labels_flat, scores_flat, thr)
+            fprs, pros = M.compute_pro(anomaly_maps, gts)
+            result.aupro = M.compute_aupro(fprs, pros, cfg.aupro_fpr_limit)
+            result.pro_curve = (fprs, pros)
         if outputs_dir:
             from ssad_tpu.evaluation import visualization as vis
 

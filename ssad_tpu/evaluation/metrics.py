@@ -59,9 +59,15 @@ def auroc(labels, scores) -> float:
 
 def f1_score(labels, scores, threshold: float) -> float:
     """Binary F1 of `scores > threshold` (torchmetrics F1Score(threshold)
-    semantics, reference metrics.py:42-46)."""
+    semantics, reference metrics.py:42-46).
+
+    The comparison runs in f64: under NumPy 2's weak scalar promotion a
+    float32 score array would instead cast the Python-float threshold
+    DOWN to f32 — rounding optimal_f1_threshold's nextafter-below-the-
+    boundary value back up onto the boundary score and silently
+    excluding the boundary sample(s) it was constructed to keep."""
     y = np.asarray(labels).ravel().astype(bool)
-    pred = np.asarray(scores).ravel() > threshold
+    pred = np.asarray(scores).ravel().astype(np.float64) > threshold
     tp = np.sum(pred & y)
     fp = np.sum(pred & ~y)
     fn = np.sum(~pred & y)
@@ -120,7 +126,8 @@ def iou_score(labels, scores, threshold: float) -> float:
     """Macro Jaccard index over {background, defect} — torchmetrics
     JaccardIndex(num_classes=2) semantics (reference tools.py:134-137)."""
     y = np.asarray(labels).ravel() > 0
-    pred = np.asarray(scores).ravel() > threshold
+    # f64 comparison: see f1_score on NumPy-2 weak scalar promotion
+    pred = np.asarray(scores).ravel().astype(np.float64) > threshold
     inter1 = np.sum(pred & y)
     union1 = np.sum(pred | y)
     iou1 = inter1 / union1 if union1 else np.nan

@@ -161,6 +161,34 @@ class TestEvaluatePipeline:
         assert rn.aupro == pytest.approx(r1.aupro, abs=1e-3)
         assert rn.iou == pytest.approx(r1.iou, abs=1e-3)
 
+    def test_patch_level_device_metrics_match_host(self, fake_mvtec,
+                                                   trained_checkpoint, tmp_path):
+        """EvalConfig.device_metrics=True routes pixel AUROC / IoU /
+        AUPRO through the fused on-device sort program; the category
+        result must match the host oracles on the same maps."""
+        path, _ = trained_checkpoint
+        engine, bank, _ = inf.load_engine(str(path))
+        data = mvtec.prepare_pretext_data(fake_mvtec, "bottle", imsize=(64, 64))
+        test = mvtec.prepare_mvtec_test_data(fake_mvtec, "bottle", imsize=(64, 64))
+        base = dict(patch_localization=True, patch_dim=16, stride=16,
+                    imsize=(64, 64), batch_size=8, upsample_size=64)
+        r_host = evaluate_category(
+            engine, bank, data, test,
+            config.EvalConfig(device_metrics=False, **base), "bottle",
+            n_normality_images=2,
+        )
+        r_dev = evaluate_category(
+            engine, bank, data, test,
+            config.EvalConfig(device_metrics=True, **base), "bottle",
+            n_normality_images=2, outputs_dir=str(tmp_path),
+        )
+        assert r_dev.pixel_auroc == pytest.approx(r_host.pixel_auroc, abs=5e-4)
+        assert r_dev.iou == pytest.approx(r_host.iou, abs=5e-4)
+        assert r_dev.aupro == pytest.approx(r_host.aupro, abs=5e-4)
+        # the downsampled device curves still feed the plot artifacts
+        assert (tmp_path / "bottle_pixel_roc.png").exists()
+        assert (tmp_path / "bottle_pro.png").exists()
+
     def test_localizer_both_modes(self, fake_mvtec, trained_checkpoint, tmp_path):
         path, _ = trained_checkpoint
         engine, bank, _ = inf.load_engine(str(path))

@@ -64,6 +64,20 @@ class TestF1:
         thr = M.optimal_f1_threshold(labels, scores)
         assert M.f1_score(labels, scores, thr) == 1.0
 
+    def test_optimal_threshold_boundary_with_float32_scores(self):
+        """float32 scores (the real pipeline's dtype): under NumPy 2's
+        weak scalar promotion `f32_array > python_float` casts the
+        threshold to f32 — which rounds the nextafter-below-boundary
+        value back ONTO the boundary score and drops the boundary
+        sample.  f1_score/iou_score must compare in f64 so the sweep's
+        selected optimum is actually achieved."""
+        labels = np.array([1, 1, 0])
+        scores = np.array([0.9, 0.8, 0.1], np.float32)
+        thr = M.optimal_f1_threshold(labels, scores)
+        assert M.f1_score(labels, scores, thr) == 1.0
+        # iou at that threshold counts the boundary sample too
+        assert M.iou_score(labels, scores, thr) == 1.0
+
     def test_pr_curve_matches_sklearn(self, binary_problem):
         from sklearn.metrics import precision_recall_curve as sk_pr
 
