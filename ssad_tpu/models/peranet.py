@@ -40,7 +40,7 @@ class PeraNet(nn.Module):
     (models.py:251-253)."""
 
     num_classes: int = 4
-    backbone_arch: str = "resnet18"  # | resnet34 | wide_resnet50_2 (BASELINE config 4)
+    backbone_arch: str = "resnet18"  # | resnet34 | resnet50 | wide_resnet50_2
     layer_outputs: Sequence[str] = ("layer2", "layer3")
     latent_space_layers: int = 5
     latent_dim: int = 512

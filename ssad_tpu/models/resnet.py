@@ -265,6 +265,19 @@ def ResNet34(dtype: Any = jnp.float32, name: str = "backbone") -> ResNet:
     return ResNet(dtype=dtype, stage_sizes=(3, 4, 6, 3), name=name)
 
 
+def ResNet50(dtype: Any = jnp.float32, name: str = "backbone") -> ResNet:
+    """torchvision resnet50: bottleneck (3,4,6,3) at standard inner
+    width — the same 512/1024/2048 tap widths as wide_resnet50_2 (only
+    the blocks' INNER 3×3 width differs), so the PeraNet head adapts
+    identically.  The common torchvision feature extractor between the
+    reference's resnet18 (models.py:58) and the PatchCore-style wide
+    variant."""
+    return ResNet(
+        dtype=dtype, stage_sizes=(3, 4, 6, 3), block="bottleneck",
+        width_factor=1, name=name,
+    )
+
+
 def WideResNet50_2(dtype: Any = jnp.float32, name: str = "backbone") -> ResNet:
     """torchvision wide_resnet50_2: bottleneck (3,4,6,3), inner width 2×
     — the PatchCore-style feature extractor (BASELINE.json config 4)."""
@@ -279,8 +292,11 @@ def make_backbone(arch: str, dtype: Any = jnp.float32, name: str = "backbone") -
         return ResNet18(dtype=dtype, name=name)
     if arch == "resnet34":
         return ResNet34(dtype=dtype, name=name)
+    if arch == "resnet50":
+        return ResNet50(dtype=dtype, name=name)
     if arch in ("wide_resnet50_2", "wide_resnet50"):
         return WideResNet50_2(dtype=dtype, name=name)
     raise ValueError(
-        f"unknown backbone '{arch}' (resnet18 | resnet34 | wide_resnet50_2)"
+        f"unknown backbone '{arch}' "
+        "(resnet18 | resnet34 | resnet50 | wide_resnet50_2)"
     )

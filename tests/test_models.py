@@ -320,6 +320,43 @@ class TestWideResNet50:
         )
 
 
+class TestResNet50:
+    """resnet50 backbone: bottleneck (3,4,6,3) at standard inner width —
+    the same 512/1024/2048 tap widths as wide_resnet50_2, so the head
+    adapts identically; the importer's bottleneck path covers it."""
+
+    def test_forward_shapes_and_width(self):
+        from ssad_tpu.models.resnet import ResNet50, WideResNet50_2
+
+        model = ResNet50(dtype=jnp.float32)
+        vars_ = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)), train=False)
+        pooled, feats = model.apply(vars_, jnp.zeros((1, 64, 64, 3)), train=False)
+        assert pooled.shape == (1, 2048)
+        assert feats["layer2"].shape[-1] == 512
+        assert feats["layer3"].shape[-1] == 1024
+        # standard inner width: layer1 block 3x3 conv is 64-wide (the
+        # wide variant's is 128)
+        k = vars_["params"]["layer1_0"]["conv2"]["kernel"]
+        assert k.shape[-1] == 64
+        kw = WideResNet50_2(dtype=jnp.float32).init(
+            jax.random.key(0), jnp.zeros((1, 64, 64, 3)), train=False
+        )["params"]["layer1_0"]["conv2"]["kernel"]
+        assert kw.shape[-1] == 128
+
+    def test_peranet_with_resnet50(self):
+        from ssad_tpu.config import ModelConfig
+        from ssad_tpu.models.peranet import build_model, init_model
+
+        model = build_model(ModelConfig(backbone="resnet50", compute_dtype="float32"))
+        params, stats = init_model(model, jax.random.key(0), (1, 64, 64, 3))
+        out = model.apply(
+            {"params": params, "batch_stats": stats}, jnp.ones((1, 64, 64, 3)),
+            train=False,
+        )
+        assert out["classifier"].shape == (1, 4)
+        assert out["latent_space"].shape == (1, 512)
+
+
 class TestResNet34:
     """resnet34 backbone: basic blocks at (3,4,6,3) — same tap widths as
     resnet18, so the PeraNet head slots in unchanged; the torchvision
