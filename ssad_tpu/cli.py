@@ -219,6 +219,7 @@ def cmd_evaluate(args) -> int:
         seed=args.seed,
         scorer=args.scorer,
         data_shards=args.data_shards,
+        category_shards=args.category_shards,
         n_normality_images=args.n_normality_images,
         coreset=args.coreset,
         device_metrics=False if args.host_metrics else None,
@@ -1242,7 +1243,7 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--fine-tune-epochs", type=int, default=30)
     t.add_argument("--fine-tune-lr", type=float, default=0.005)
     t.add_argument("--backbone", default="resnet18",
-                   choices=["resnet18", "resnet34", "wide_resnet50_2"])
+                   choices=["resnet18", "resnet34", "resnet50", "wide_resnet50_2"])
     t.add_argument("--pretrained-backbone", default=None,
                    help="path to a torchvision resnet18 state_dict (.pth)")
     t.add_argument("--data-shards", type=int, default=None,
@@ -1265,7 +1266,7 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--fine-tune-epochs", type=int, default=30)
     s.add_argument("--fine-tune-lr", type=float, default=0.005)
     s.add_argument("--backbone", default="resnet18",
-                   choices=["resnet18", "resnet34", "wide_resnet50_2"])
+                   choices=["resnet18", "resnet34", "resnet50", "wide_resnet50_2"])
     s.add_argument("--pretrained-backbone", default=None)
     s.add_argument("--quiet", action="store_true")
     s.set_defaults(fn=cmd_sweep)
@@ -1286,7 +1287,7 @@ def build_parser() -> argparse.ArgumentParser:
     tm.add_argument("--fine-tune-epochs", type=int, default=30)
     tm.add_argument("--fine-tune-lr", type=float, default=0.005)
     tm.add_argument("--backbone", default="resnet18",
-                    choices=["resnet18", "resnet34", "wide_resnet50_2"])
+                    choices=["resnet18", "resnet34", "resnet50", "wide_resnet50_2"])
     tm.add_argument("--pretrained-backbone", default=None)
     tm.add_argument("--resume-dir", default=None,
                     help="write per-group epoch-granular resume snapshots "
@@ -1303,6 +1304,11 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--data-shards", type=int, default=None,
                    help="shard scoring batches over the first N devices "
                         "(data-parallel inference via shard_map)")
+    e.add_argument("--category-shards", type=int, default=None,
+                   help="evaluate N categories concurrently, one whole "
+                        "category per device (replica parallelism, zero "
+                        "collectives; mutually exclusive with "
+                        "--data-shards)")
     e.add_argument("--n-normality-images", type=int,
                    default=EvalConfig().n_normality_images,
                    help="patch mode: training images re-embedded for "
@@ -1375,7 +1381,7 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--fine-tune-epochs", type=int, default=30)
     pr.add_argument("--fine-tune-lr", type=float, default=0.005)
     pr.add_argument("--backbone", default="resnet18",
-                    choices=["resnet18", "resnet34", "wide_resnet50_2"])
+                    choices=["resnet18", "resnet34", "resnet50", "wide_resnet50_2"])
     pr.add_argument("--pretrained-backbone", default=None)
     pr.set_defaults(fn=cmd_profile)
 
@@ -1591,7 +1597,7 @@ def build_parser() -> argparse.ArgumentParser:
     pa.add_argument("--fine-tune-epochs", type=int, default=15)
     pa.add_argument("--pretrained-backbone", default=None)
     pa.add_argument("--backbone", default="resnet18",
-                    choices=["resnet18", "resnet34", "wide_resnet50_2"])
+                    choices=["resnet18", "resnet34", "resnet50", "wide_resnet50_2"])
     pa.add_argument("--patch-dim", type=int, default=32)
     pa.add_argument("--stride", type=int, default=8)
     pa.add_argument("--modes", default="image,patch")

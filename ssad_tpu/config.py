@@ -210,7 +210,11 @@ class EvalConfig:
     patch_localization: bool = False
     patch_dim: int = 32
     stride: int = 8
-    upsample_size: int = 256
+    #: anomaly-map upsample target.  None (default) tracks imsize — the
+    #: GT masks load at imsize, and pixel metrics need both on the same
+    #: grid (the reference hard-codes 256 for its fixed 256px protocol,
+    #: tools.py:394-399).  An explicit int overrides.
+    upsample_size: Optional[int] = None
     aupro_fpr_limit: float = 0.3  # evaluator.py / tools.py:118
     knn_k: int = 3  # models.py:354
     #: anomaly scorer: 'knn' (the reference's k-NN cosine detector,
@@ -233,9 +237,19 @@ class EvalConfig:
     #: devices (parallel/infer_parallel.ShardedEngine); None/1 = single
     #: device (the reference's only mode, tools.py:327 devices=1)
     data_shards: Optional[int] = None
+    #: category-parallel sweep: evaluate subjects concurrently, one
+    #: whole category per device (the eval analog of `train-multi` —
+    #: categories are independent, so this is collective-free replica
+    #: parallelism, like serving/replicas.py).  Mutually exclusive with
+    #: data_shards (which instead splits each batch across devices).
+    category_shards: Optional[int] = None
     #: pixel metrics (ROC AUC / optimal-F1 / IoU / AUPRO) fused into ONE
     #: on-device sort program (evaluation/metrics_device.py) instead of
     #: three host argsorts over every test pixel.  None = auto: on when
     #: the default backend is an accelerator, off on CPU (where the host
     #: oracles are as fast and bit-match the reference algorithms).
     device_metrics: Optional[bool] = None
+
+    def __post_init__(self):
+        if self.upsample_size is None:
+            object.__setattr__(self, "upsample_size", self.imsize[0])

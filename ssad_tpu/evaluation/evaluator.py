@@ -489,22 +489,67 @@ def evaluate_categories(
     checkpoint_name: str = "best_model",
 ) -> Dict[str, CategoryResult]:
     """Sweep subjects, write per-category plots + aggregate tables
-    (reference evaluate(), evaluator.py:432-564)."""
-    results: Dict[str, CategoryResult] = {}
-    for subject in subjects:
-        engine, bank, _ = inf.load_engine(str(Path(models_dir) / subject / checkpoint_name))
-        if cfg.data_shards and cfg.data_shards > 1:
-            from ssad_tpu.parallel.infer_parallel import maybe_shard_engine
+    (reference evaluate(), evaluator.py:432-564).
 
-            engine = maybe_shard_engine(engine, cfg.data_shards)
-        data = mvtec.prepare_pretext_data(
-            dataset_dir, subject, imsize=cfg.imsize, seed=cfg.seed
-        )
-        test_data = mvtec.prepare_mvtec_test_data(dataset_dir, subject, imsize=cfg.imsize)
-        results[subject] = evaluate_category(
-            engine, bank, data, test_data, cfg, subject,
-            outputs_dir=str(Path(outputs_dir) / subject),
-        )
+    With cfg.category_shards > 1 the subjects evaluate CONCURRENTLY,
+    one whole category pinned per local device (round-robin) — the
+    evaluation analog of `train-multi`.  Categories are independent, so
+    this is replica parallelism with zero collectives (the same
+    argument as serving/replicas.py): per-category wall time stays at
+    the single-device number and the sweep scales ~linearly with
+    devices.  Each worker thread enters `jax.default_device(dev)`
+    (thread-local in JAX), so every array and compiled program it
+    creates lands on its own chip; matplotlib rendering is serialized
+    inside visualization.py (`_PLT_LOCK`)."""
+
+    def _eval_one(subject: str, device=None) -> CategoryResult:
+        import contextlib
+
+        ctx = jax.default_device(device) if device is not None else contextlib.nullcontext()
+        with ctx:
+            engine, bank, _ = inf.load_engine(
+                str(Path(models_dir) / subject / checkpoint_name)
+            )
+            if cfg.data_shards and cfg.data_shards > 1:
+                from ssad_tpu.parallel.infer_parallel import maybe_shard_engine
+
+                engine = maybe_shard_engine(engine, cfg.data_shards)
+            data = mvtec.prepare_pretext_data(
+                dataset_dir, subject, imsize=cfg.imsize, seed=cfg.seed
+            )
+            test_data = mvtec.prepare_mvtec_test_data(
+                dataset_dir, subject, imsize=cfg.imsize
+            )
+            return evaluate_category(
+                engine, bank, data, test_data, cfg, subject,
+                outputs_dir=str(Path(outputs_dir) / subject),
+            )
+
+    results: Dict[str, CategoryResult] = {}
+    shards = cfg.category_shards or 1
+    if shards > 1:
+        if cfg.data_shards and cfg.data_shards > 1:
+            raise ValueError(
+                "category_shards and data_shards are mutually exclusive: "
+                "one parallelizes across categories, the other within a batch"
+            )
+        from concurrent.futures import ThreadPoolExecutor
+
+        devices = jax.local_devices()
+        if shards > len(devices):
+            raise ValueError(
+                f"category_shards={shards} > {len(devices)} local devices"
+            )
+        with ThreadPoolExecutor(max_workers=shards) as pool:
+            futures = {
+                subject: pool.submit(_eval_one, subject, devices[i % shards])
+                for i, subject in enumerate(subjects)
+            }
+            for subject, fut in futures.items():
+                results[subject] = fut.result()
+    else:
+        for subject in subjects:
+            results[subject] = _eval_one(subject)
 
     # aggregate tables: all / textures / objects (evaluator.py:496-564)
     tables_dir = str(Path(outputs_dir) / "tables")

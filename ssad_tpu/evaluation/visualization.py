@@ -17,7 +17,26 @@ import numpy as np
 import matplotlib
 
 matplotlib.use("Agg")
+import functools
+import threading
+
 import matplotlib.pyplot as plt
+
+#: pyplot's figure manager is process-global state (even under Agg);
+#: category-parallel evaluation threads (evaluator.evaluate_categories
+#: with category_shards > 1) serialize figure create/draw/close here —
+#: rendering is milliseconds next to the device scoring the threads
+#: parallelize.
+_PLT_LOCK = threading.RLock()
+
+
+def _plt_serialized(fn):
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        with _PLT_LOCK:
+            return fn(*args, **kwargs)
+
+    return wrapper
 
 
 def _ensure(path) -> Path:
@@ -26,6 +45,7 @@ def _ensure(path) -> Path:
     return p
 
 
+@_plt_serialized
 def plot_history(history: Dict[str, list], saving_path, mode: str = "training") -> str:
     """Loss/accuracy curves per phase (reference :20-49)."""
     out = _ensure(Path(saving_path) / f"{mode}_history.png")
@@ -46,6 +66,7 @@ def plot_history(history: Dict[str, list], saving_path, mode: str = "training") 
     return str(out)
 
 
+@_plt_serialized
 def plot_curve(x, y, area: float, saving_path, title: str, name: str) -> str:
     """Single ROC/PRO curve with its area (reference :51-77)."""
     out = _ensure(Path(saving_path) / name)
@@ -62,6 +83,7 @@ def plot_curve(x, y, area: float, saving_path, title: str, name: str) -> str:
     return str(out)
 
 
+@_plt_serialized
 def plot_multiple_curves(curves: Sequence[tuple], saving_path, title: str, name: str) -> str:
     """Overlay (label, x, y, area) curves (reference :80-106)."""
     out = _ensure(Path(saving_path) / name)
@@ -88,6 +110,7 @@ _TSNE_LABELS = {
 }
 
 
+@_plt_serialized
 def plot_tsne(embeddings, labels, saving_path, title: str, name: str, seed: int = 0) -> str:
     """2-D t-SNE of embeddings colored by pretext/real label
     (reference :109-145; labels follow predict_step's convention:
@@ -148,6 +171,7 @@ def save_image(array_u8: np.ndarray, path) -> str:
     return str(out)
 
 
+@_plt_serialized
 def localization_panel(
     original,
     anomaly_map,
@@ -184,6 +208,7 @@ def localization_panel(
     return str(out)
 
 
+@_plt_serialized
 def augmentation_grid(images_by_label: Dict[int, np.ndarray], saving_path, name: str) -> str:
     """Visual-QA grid of synthetic samples per pretext class (reference
     test_artificial_transformations.py:226-316)."""

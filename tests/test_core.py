@@ -43,6 +43,14 @@ class TestConfig:
         assert restored.optim.projection_epochs == 1
         assert restored.aug.patch_aspect_ratio == ((0.3, 0.5), (1.0, 3.3))
 
+    def test_eval_upsample_tracks_imsize(self):
+        """upsample_size=None tracks imsize: the GT masks load at
+        imsize, so the anomaly maps must land on the same grid (a fixed
+        256 default crashed `cli evaluate --patch-level --imsize 64`)."""
+        assert config.EvalConfig().upsample_size == 256
+        assert config.EvalConfig(imsize=(64, 64)).upsample_size == 64
+        assert config.EvalConfig(imsize=(64, 64), upsample_size=128).upsample_size == 128
+
     def test_reference_defaults(self):
         cfg = config.TrainConfig()
         # tools.py:213-214 two-phase schedule

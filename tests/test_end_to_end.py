@@ -189,6 +189,49 @@ class TestEvaluatePipeline:
         assert (tmp_path / "bottle_pixel_roc.png").exists()
         assert (tmp_path / "bottle_pro.png").exists()
 
+    def test_category_parallel_sweep_matches_sequential(self, fake_mvtec,
+                                                        trained_checkpoint,
+                                                        tmp_path):
+        """EvalConfig.category_shards=2 evaluates two categories
+        concurrently, one per virtual device; results and artifacts must
+        match the sequential sweep (replica parallelism, no
+        collectives)."""
+        import shutil
+
+        from ssad_tpu.evaluation.evaluator import evaluate_categories
+
+        path, _ = trained_checkpoint
+        models = tmp_path / "models"
+        for s in ("bottle", "carpet"):
+            shutil.copytree(path, models / s / "best_model")
+        base = dict(patch_localization=True, patch_dim=16, stride=16,
+                    imsize=(64, 64), batch_size=8)
+        r_seq = evaluate_categories(
+            str(fake_mvtec), str(models), ["bottle", "carpet"],
+            config.EvalConfig(**base), str(tmp_path / "seq"),
+        )
+        r_par = evaluate_categories(
+            str(fake_mvtec), str(models), ["bottle", "carpet"],
+            config.EvalConfig(category_shards=2, **base), str(tmp_path / "par"),
+        )
+        for s in ("bottle", "carpet"):
+            assert r_par[s].pixel_auroc == pytest.approx(r_seq[s].pixel_auroc, abs=1e-6)
+            assert r_par[s].aupro == pytest.approx(r_seq[s].aupro, abs=1e-6)
+            assert r_par[s].iou == pytest.approx(r_seq[s].iou, abs=1e-6)
+            assert (tmp_path / "par" / s / f"{s}_pro.png").exists()
+        assert (tmp_path / "par" / "tables" / "markdown" / "patch_all_scores.md").exists()
+
+    def test_category_and_data_shards_exclusive(self, fake_mvtec, tmp_path):
+        from ssad_tpu.evaluation.evaluator import evaluate_categories
+
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            evaluate_categories(
+                str(fake_mvtec), str(tmp_path), ["bottle"],
+                config.EvalConfig(category_shards=2, data_shards=2,
+                                  imsize=(64, 64)),
+                str(tmp_path / "x"),
+            )
+
     def test_localizer_both_modes(self, fake_mvtec, trained_checkpoint, tmp_path):
         path, _ = trained_checkpoint
         engine, bank, _ = inf.load_engine(str(path))
