@@ -268,7 +268,22 @@ def bench_patch_scoring(rng, h, w, patch_dim=32, stride=8, bank_rows=1000, bs=8)
         pass
 
     dt = _timeit(run, 20, x)
-    return dt * 1e3 / bs, roofline
+    ms = dt * 1e3 / bs
+    if roofline is not None:
+        # BASELINE.md's "<2 ms/image" names v4-8 hardware; the measured
+        # chip differs, so publish the conversion ON THE BINDING
+        # RESOURCE as arithmetic, not hope: scale by the ratio of this
+        # chip's peak (HBM BW if memory-bound, bf16 FLOP/s if
+        # compute-bound) to v4's.
+        v4_flops, v4_bw = dict((t, (f, b)) for t, f, b in _PEAK)["v4"]
+        peak_flops, peak_bw = _peak()
+        scale = (
+            peak_bw / v4_bw if roofline["bound"] == "memory"
+            else peak_flops / v4_flops
+        )
+        roofline["v4_equiv_ms_per_image"] = round(ms * scale, 3)
+        roofline["v4_equiv_basis"] = roofline["bound"]
+    return ms, roofline
 
 
 def bench_knn_wide_bank(rng, n=6728, m=35840, d=512):

@@ -41,6 +41,7 @@ def _train_cfg(args, n_model: int = 1) -> TrainConfig:
             seed=args.seed,
             patch_localization=args.patch_level,
             patch_size=args.patch_size,
+            min_dataset_length=getattr(args, "min_dataset_length", 1000),
         ),
         model=ModelConfig(backbone=getattr(args, 'backbone', 'resnet18'),
                           pretrained_backbone=args.pretrained_backbone),
@@ -137,7 +138,27 @@ def cmd_sweep(args) -> int:
 
 def cmd_train_multi(args) -> int:
     """Train several categories simultaneously as one stacked SPMD
-    program over the ('model','data') device mesh."""
+    program over the ('model','data') device mesh.
+
+    With --coordinator, this process joins a multi-controller run
+    (jax.distributed): every participating host launches the SAME
+    command with its own --process-id, the global mesh spans all their
+    devices, and the 'model' axis rides DCN across hosts (the
+    embarrassingly-parallel category axis — parallel/distributed.py).
+    Each host must see the dataset at --dataset-dir; artifacts are
+    written by process 0 only, so point --outputs-dir (and any
+    --resume-dir) at a shared filesystem for cross-host runs."""
+    if getattr(args, "coordinator", None):
+        if args.num_processes is None or args.process_id is None:
+            raise SystemExit(
+                "--coordinator requires --num-processes and --process-id"
+            )
+        from ssad_tpu.parallel import distributed as dist_mod
+
+        dist_mod.initialize(
+            args.coordinator, args.num_processes, args.process_id,
+            local_cpu_devices=args.local_devices,
+        )
     import jax
 
     from ssad_tpu.data import mvtec
@@ -175,6 +196,10 @@ def cmd_train_multi(args) -> int:
     results = fit_categories(cfg, subjects, datas, mesh, seed=args.seed,
                              verbose=not args.quiet, stack_size=args.stack,
                              resume_dir=args.resume_dir)
+    if jax.process_index() != 0:
+        # every controller holds all results (dist.to_host gathers), but
+        # only one writes — hosts may not share a filesystem
+        return 0
     from ssad_tpu.evaluation import visualization as vis
 
     for subject, r in results.items():
@@ -1249,6 +1274,9 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--data-shards", type=int, default=None,
                    help="shard the batch over the first N devices "
                         "(single-category data parallelism)")
+    t.add_argument("--min-dataset-length", type=int, default=1000,
+                   help="duplicate the train file list up to this length "
+                        "per epoch (reference datasets.py:410)")
     t.add_argument("--resume-dir", default=None,
                    help="write epoch-granular resume snapshots here and "
                         "continue from an existing one")
@@ -1268,6 +1296,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--backbone", default="resnet18",
                    choices=["resnet18", "resnet34", "resnet50", "wide_resnet50_2"])
     s.add_argument("--pretrained-backbone", default=None)
+    s.add_argument("--min-dataset-length", type=int, default=1000,
+                   help="duplicate the train file list up to this length "
+                        "per epoch (reference datasets.py:410)")
     s.add_argument("--quiet", action="store_true")
     s.set_defaults(fn=cmd_sweep)
 
@@ -1289,9 +1320,28 @@ def build_parser() -> argparse.ArgumentParser:
     tm.add_argument("--backbone", default="resnet18",
                     choices=["resnet18", "resnet34", "resnet50", "wide_resnet50_2"])
     tm.add_argument("--pretrained-backbone", default=None)
+    tm.add_argument("--min-dataset-length", type=int, default=1000,
+                    help="duplicate the train file list up to this length "
+                         "per epoch (reference datasets.py:410)")
     tm.add_argument("--resume-dir", default=None,
                     help="write per-group epoch-granular resume snapshots "
                          "here and continue from existing ones")
+    tm.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                    help="join a multi-controller run: every host launches "
+                         "this same command against one coordinator address "
+                         "(jax.distributed); the global mesh spans all "
+                         "hosts' devices and the category 'model' axis "
+                         "rides DCN")
+    tm.add_argument("--num-processes", type=int, default=None,
+                    help="total controller processes in the "
+                         "--coordinator run")
+    tm.add_argument("--process-id", type=int, default=None,
+                    help="this controller's index (0-based; process 0 "
+                         "writes all artifacts)")
+    tm.add_argument("--local-devices", type=int, default=None,
+                    help="provision N virtual CPU devices in this process "
+                         "before joining (dev/test rigs; real TPU hosts "
+                         "auto-discover their chips)")
     tm.add_argument("--quiet", action="store_true")
     tm.set_defaults(fn=cmd_train_multi)
 

@@ -237,15 +237,28 @@ def _fresh_opt_and_bank(
     model = build_model(cfg.model)
     template, _ = _init(model, jax.random.key(0), (1, 64, 64, 3))
     tx = optim_mod.build_optimizer(cfg.optim, stage, steps_per_epoch, template)
-    opt = jax.vmap(tx.init)(state.params)
     n_cat = jax.tree_util.tree_leaves(state.params)[0].shape[0]
-    bank0 = init_bank(cfg.model.memory_bank_size, cfg.model.latent_dim)
-    bank = jax.tree_util.tree_map(
-        lambda a: jnp.broadcast_to(a, (n_cat,) + a.shape), bank0
-    )
     model_sharding = NamedSharding(mesh, P("model"))
-    opt = jax.device_put(opt, jax.tree_util.tree_map(lambda _: model_sharding, opt))
-    bank = jax.device_put(bank, jax.tree_util.tree_map(lambda _: model_sharding, bank))
+
+    # opt state derives from the GLOBAL (possibly non-addressable)
+    # stacked params, so build it in-graph with an explicit sharding
+    # constraint — a host-side vmap + device_put would try to place
+    # process-local arrays onto non-addressable shards and raise under
+    # multi-process
+    @jax.jit
+    def make_opt(p):
+        o = jax.vmap(tx.init)(p)
+        return jax.tree_util.tree_map(
+            lambda x: jax.lax.with_sharding_constraint(x, model_sharding), o
+        )
+
+    opt = make_opt(state.params)
+    # the empty bank is identical on every process → put_global is safe
+    bank0 = init_bank(cfg.model.memory_bank_size, cfg.model.latent_dim)
+    bank_host = jax.tree_util.tree_map(
+        lambda a: np.broadcast_to(np.asarray(a), (n_cat,) + a.shape), bank0
+    )
+    bank = dist.put_global_tree(bank_host, model_sharding)
     return None, None, opt, bank
 
 
@@ -368,6 +381,11 @@ def fit_categories(
     stack = stack_size or n_model
     if stack % n_model:
         raise ValueError(f"stack_size={stack} not a multiple of model={n_model}")
+    # multi-process: rendezvous every communicator clique NOW, while the
+    # controllers are in lockstep — later first-collectives sit behind
+    # minutes of per-process compile skew and would blow XLA's ~30 s
+    # rendezvous deadline (see dist.warmup_collectives)
+    dist.warmup_collectives(mesh)
     assert len(subjects) == len(datas)
     data_by_subject = dict(zip(subjects, datas))
     results = {}

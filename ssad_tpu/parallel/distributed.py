@@ -56,6 +56,49 @@ def is_multiprocess() -> bool:
     return jax.process_count() > 1
 
 
+def warmup_collectives(mesh) -> None:
+    """Create the cross-process communicators for every clique the mesh
+    will use, while all controllers are still in lockstep.
+
+    The FIRST collective on a device clique performs a KV-store
+    rendezvous with a ~30 s deadline baked into XLA (observed:
+    ``DEADLINE_EXCEEDED: GetKeyValue() timed out ... cpu:gloo/...``);
+    jax 0.9 exposes no knob for it.  Mid-run, controllers can be skewed
+    by far more than that — each one compiles the big train/eval
+    programs independently, minutes apiece on a contended host — so the
+    first real collective would spuriously time out.  Warming the
+    cliques with a trivial chained-psum program (per-axis subgroups +
+    the full device set, covering step collectives and
+    ``process_allgather``) turns every later rendezvous into plain
+    socket traffic with no deadline.  No-op in a single process."""
+    if not is_multiprocess():
+        return
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axes = tuple(mesh.axis_names)
+
+    def body(v):
+        for ax in axes:  # one clique per axis subgroup
+            v = jax.lax.psum(v, ax)
+        return jax.lax.psum(v, axes)  # the full-device-set clique
+
+    warm = jax.jit(
+        shard_map(body, mesh=mesh, in_specs=P(axes), out_specs=P())
+    )
+    x = put_global(
+        np.zeros((int(np.prod([mesh.shape[a] for a in axes])),), np.float32),
+        NamedSharding(mesh, P(axes)),
+    )
+    jax.block_until_ready(warm(x))
+    # process_allgather of replicated host values runs over a separate
+    # one-device-per-process clique (observed: cpu:gloo/0,2048) — warm
+    # it the same way, it is what to_host uses for metrics
+    from jax.experimental import multihost_utils
+
+    multihost_utils.process_allgather(np.zeros((1,), np.float32))
+
+
 def put_global(x, sharding) -> jax.Array:
     """Place identical-on-every-process host data onto a (possibly
     non-fully-addressable) global sharding.

@@ -81,3 +81,56 @@ class TestMultiProcess:
             np.asarray(mp["kernel"]), np.asarray(ref["kernel"]),
             rtol=1e-4, atol=1e-5,
         )
+
+    def test_cli_train_multi_two_processes(self, fake_mvtec, tmp_path):
+        """End-to-end reachability of the multi-controller path from the
+        product surface: two `cli train-multi --coordinator` processes
+        (4 virtual CPU devices each) run the full two-phase fit over the
+        global 8-device mesh; process 0 writes the checkpoint +
+        histories, process 1 writes nothing."""
+        env = {**os.environ}
+        env.pop("XLA_FLAGS", None)
+        env.pop("JAX_PLATFORMS", None)
+        env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+        # share the suite's persistent compile cache across reruns
+        env["SSAD_JAX_CACHE"] = os.environ.get(
+            "SSAD_TEST_JAX_CACHE", "/tmp/ssad_tpu_test_jax_cache"
+        )
+        port = 29800 + os.getpid() % 500
+        outs = [tmp_path / "out0", tmp_path / "out1"]
+
+        def cmd(pid):
+            return [
+                sys.executable, "-m", "ssad_tpu.cli", "train-multi",
+                "--dataset-dir", str(fake_mvtec),
+                "--outputs-dir", str(outs[pid]),
+                "--subjects", "bottle", "--imsize", "64",
+                "--batch-size", "4", "--min-dataset-length", "4",
+                "--projection-epochs", "1", "--fine-tune-epochs", "1",
+                "--model-shards", "1", "--stack", "1",
+                "--coordinator", f"localhost:{port}",
+                "--num-processes", "2", "--process-id", str(pid),
+                "--local-devices", "4", "--quiet",
+            ]
+
+        p1 = subprocess.Popen(
+            cmd(1), env=env, cwd=REPO, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True,
+        )
+        try:
+            p0 = subprocess.run(
+                cmd(0), env=env, cwd=REPO, capture_output=True, text=True,
+                timeout=1200,
+            )
+            out1, _ = p1.communicate(timeout=120)
+        finally:
+            if p1.poll() is None:
+                p1.kill()
+        assert p0.returncode == 0, p0.stdout + p0.stderr
+        assert p1.returncode == 0, out1
+
+        assert (outs[0] / "bottle" / "best_model").exists()
+        hist = json.loads((outs[0] / "bottle" / "history.json").read_text())
+        assert len(hist["fine_tune_val_loss"]) == 1
+        # non-zero processes write no artifacts (hosts may not share a fs)
+        assert not (outs[1] / "bottle").exists()
