@@ -35,12 +35,21 @@ def initialize(
     num_processes: int,
     process_id: int,
     local_cpu_devices: Optional[int] = None,
+    shutdown_timeout_seconds: int = 1200,
 ) -> None:
     """`jax.distributed.initialize` wrapper.
 
     local_cpu_devices: provision N virtual CPU devices in this process
     first (test/dev rigs; real TPU hosts discover their local chips).
     Must run before the backend is first used.
+
+    shutdown_timeout_seconds raises the coordination service's exit-time
+    Shutdown-barrier deadline from jax's 300 s default: controllers can
+    be skewed at exit by however long process 0 spends writing artifacts
+    (checkpoints + matplotlib histories — minutes on a contended host),
+    and a process that exits early sits in that barrier the whole time.
+    `barrier()` below removes the skew for the train-multi path; the
+    larger deadline is the belt for every other exit.
     """
     if local_cpu_devices is not None:
         jax.config.update("jax_platforms", "cpu")
@@ -49,7 +58,31 @@ def initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
         process_id=process_id,
+        shutdown_timeout_seconds=shutdown_timeout_seconds,
     )
+
+
+def barrier(name: str, timeout_s: float = 1200.0) -> None:
+    """Block every controller at a named coordination-service barrier.
+
+    This is a pure key-value rendezvous on the coordinator
+    (`wait_at_barrier`) — no device collectives, so it cannot trip the
+    gloo clique-rendezvous deadline `warmup_collectives` exists for, and
+    the timeout is explicit.  Use it to hold fast controllers alive
+    while a slow one (process 0) finishes host-side work: without it the
+    early-exiting process falls into jax.distributed's atexit Shutdown
+    barrier, and once that deadline lapses the coordination service
+    fatally kills the still-working process mid-write (observed as
+    'Terminating process because the JAX distributed service detected
+    fatal errors' on the train-multi CLI path).  No-op single-process.
+    """
+    if not is_multiprocess():
+        return
+    from jax._src import distributed as _dist
+
+    client = _dist.global_state.client
+    assert client is not None
+    client.wait_at_barrier(name, timeout_in_ms=int(timeout_s * 1000))
 
 
 def is_multiprocess() -> bool:

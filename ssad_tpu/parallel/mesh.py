@@ -41,6 +41,26 @@ def make_mesh(
             raise ValueError(f"{len(devs)} devices not divisible by model={n_model}")
         n_data = len(devs) // n_model
     use = np.array(devs[: n_model * n_data]).reshape(n_model, n_data)
+    # The ICI-only guarantee for 'data' all-reduces holds when each
+    # mesh row stays inside one process (one host/slice).  The row-major
+    # reshape satisfies that whenever n_data divides the per-process
+    # device count; otherwise (e.g. auto n_model=1 with many hosts)
+    # gradient all-reduces silently cross DCN — warn, don't fail, since
+    # a DCN 'data' axis is slow but correct.
+    if jax.process_count() > 1:
+        for row in use:
+            procs = {d.process_index for d in row}
+            if len(procs) > 1:
+                import warnings
+
+                warnings.warn(
+                    f"'data' mesh row spans processes {sorted(procs)}: "
+                    "batch-gradient all-reduces will ride DCN, not ICI. "
+                    "Pick --model-shards = a multiple of the host count "
+                    "so each data row stays within one host.",
+                    stacklevel=2,
+                )
+                break
     return Mesh(use, ("model", "data"))
 
 

@@ -25,6 +25,35 @@ def _to_numpy_tree(tree):
     return jax.tree_util.tree_map(lambda a: np.asarray(a), tree)
 
 
+def _checkpointer():
+    """PyTree checkpointer honoring the single-writer contract.
+
+    In multi-controller runs ONLY process 0 writes artifacts (hosts may
+    not share a filesystem — cli.py train-multi).  Orbax's default
+    Checkpointer, however, runs a sync_global_devices barrier over ALL
+    processes inside save(); with a sole writer that deadlocks: process
+    0 blocks in the save barrier while the others wait at the command's
+    exit barrier (observed via faulthandler stacks on the two-process
+    CLI test).  Scoping active_processes to the CALLING process makes
+    every barrier a self-barrier, which is correct here because each
+    payload is plain host numpy (already gathered by dist.to_host) and
+    written to a process-local path — there is nothing to coordinate.
+    """
+    import orbax.checkpoint as ocp
+
+    if jax.process_count() > 1:
+        me = jax.process_index()
+        return ocp.Checkpointer(
+            ocp.PyTreeCheckpointHandler(),
+            multiprocessing_options=ocp.options.MultiprocessingOptions(
+                primary_host=me,
+                active_processes={me},
+                barrier_sync_key_prefix=f"proc{me}",
+            ),
+        )
+    return ocp.PyTreeCheckpointer()
+
+
 def save_checkpoint(
     outputs_dir: str | Path,
     params: Any,
@@ -46,7 +75,7 @@ def save_checkpoint(
             "cursor": np.asarray(bank.cursor),
             "count": np.asarray(bank.count),
         }
-    ckptr = ocp.PyTreeCheckpointer()
+    ckptr = _checkpointer()
     ckptr.save(path, payload, force=True)
     if cfg is not None:
         (path / "train_config.json").write_text(cfg.to_json())
@@ -58,7 +87,7 @@ def load_checkpoint(path: str | Path):
     import orbax.checkpoint as ocp
 
     path = Path(path).absolute()
-    ckptr = ocp.PyTreeCheckpointer()
+    ckptr = _checkpointer()
     payload = ckptr.restore(path)
     bank = None
     if "bank" in payload and payload["bank"] is not None:
