@@ -383,21 +383,21 @@ def evaluate_category(
             max_images=n_normality_images,
             seed=cfg.seed,
         )
-        if cfg.coreset is not None:
-            from ssad_tpu.ops.coreset import coreset_select
-
-            normality = coreset_select(
-                normality, cfg.coreset, jax.random.key(cfg.seed)
-            )
         if cfg.scorer == "mahalanobis":
+            # coreset is ignored here: the Gaussian's moments are fixed
+            # size regardless of row count, and a maximin subset would
+            # bias them toward boundary rows
             from ssad_tpu.models.detector import MahalanobisDetector
 
             detector = MahalanobisDetector().fit(
                 normality, jax.random.key(cfg.seed)
             )
         else:
+            # coreset selection happens INSIDE fit, after the 70/30
+            # calibration split (see AnomalyDetector.fit for why the
+            # order matters)
             detector = AnomalyDetector(k=cfg.knn_k).fit(
-                normality, jax.random.key(cfg.seed)
+                normality, jax.random.key(cfg.seed), coreset=cfg.coreset
             )
 
         maps_list = []

@@ -392,12 +392,12 @@ def attach_anomaly_scores(
     """Fit the selected detector on normality and score
     `outputs.embeddings` (tools.py:351-389).  scorer: 'knn' (reference
     detector) or 'mahalanobis' (parametric Gaussian alternative).
-    coreset distills the normality rows by k-center-greedy selection
-    (ops/coreset.py) before the fit; None keeps every row."""
-    if coreset is not None:
-        from ssad_tpu.ops.coreset import coreset_select
-
-        normality = coreset_select(normality, coreset, jax.random.key(seed))
+    coreset distills the k-NN bank by k-center-greedy selection inside
+    AnomalyDetector.fit (selection AFTER the calibration split — see
+    its docstring for why the order matters); None keeps every row.
+    Mahalanobis ignores it: the Gaussian's mean/precision are fixed
+    size regardless of row count, so distillation buys nothing and a
+    maximin subset would bias the moments toward boundary rows."""
     if scorer == "mahalanobis":
         from ssad_tpu.models.detector import MahalanobisDetector
 
@@ -415,7 +415,10 @@ def attach_anomaly_scores(
         )
     else:
         raise ValueError(f"unknown scorer {scorer!r}; valid: knn, mahalanobis")
-    detector.fit(normality, jax.random.key(seed))
+    if scorer == "knn":
+        detector.fit(normality, jax.random.key(seed), coreset=coreset)
+    else:
+        detector.fit(normality, jax.random.key(seed))
     outputs.anomaly_maps = detector.predict(outputs.embeddings)
     return outputs, detector
 

@@ -398,6 +398,10 @@ def export_checkpoint(
       explicit patch-embedding ``normality`` array.
 
     The 70/30 split threshold calibration matches the evaluator's fit.
+    ``coreset`` distills the k-NN bank inside that fit (selection after
+    the split; AnomalyDetector.fit docstring); Mahalanobis ignores it —
+    its mean/precision are fixed size, and a maximin subset would bias
+    the moments toward boundary rows.
     """
     from ssad_tpu.evaluation import inference as inf
     from ssad_tpu.models.detector import AnomalyDetector
@@ -441,12 +445,6 @@ def export_checkpoint(
                     f"{checkpoint_path} has no memory bank; pass `normality`"
                 )
             normality = np.asarray(newest_first(bank))
-    if coreset is not None:
-        from ssad_tpu.ops.coreset import coreset_select
-
-        normality = coreset_select(
-            jnp.asarray(normality), coreset, jax.random.key(seed)
-        )
     if k is None:
         from ssad_tpu.config import EvalConfig
 
@@ -465,8 +463,11 @@ def export_checkpoint(
             mean=det.mean, precision=det.precision,
         )
     else:
+        # coreset selection happens inside fit, after the calibration
+        # split (AnomalyDetector.fit docstring); the baked bank is the
+        # whole coreset and the threshold comes from raw held-out rows
         det = AnomalyDetector(k=k).fit(
-            jnp.asarray(normality), jax.random.key(seed)
+            jnp.asarray(normality), jax.random.key(seed), coreset=coreset
         )
         thr = float(det.threshold) if threshold is None else float(threshold)
         exported, meta = export_scorer(

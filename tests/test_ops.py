@@ -66,6 +66,24 @@ class TestImageOps:
         assert out.shape == (2, 64, 64)
         assert float(jnp.min(out)) >= 0.0
 
+    @pytest.mark.parametrize("s,target", [(9, 64), (29, 256), (33, 256)])
+    def test_fused_upsample_matches_staged(self, rng, s, target):
+        """The blur⊗upsample composite (two matmuls against a
+        precomputed operator) must equal the staged conv→ReLU→resize
+        pipeline to f32 roundoff on non-negative maps — the only kind
+        the product produces (k-NN / Mahalanobis distances ≥ 0)."""
+        m = jnp.asarray(rng.random((3, s, s), dtype=np.float32))
+        staged = np.asarray(im.upsample_anomaly_maps_staged(m, target))
+        fused = np.asarray(im.upsample_anomaly_maps_fused(m, target))
+        np.testing.assert_allclose(fused, staged, rtol=1e-5, atol=2e-6)
+
+    def test_fused_upsample_operator_rows_sum_to_one(self):
+        """Blur and bilinear resize both preserve constants, so every
+        row of the composed operator sums to 1 — catches reflect-index
+        or resize-weight mistakes structurally."""
+        op = im._blur_upsample_matrix(29, 256)
+        np.testing.assert_allclose(op.sum(axis=1), 1.0, atol=1e-5)
+
     def test_color_cosine_similarity(self):
         a = jnp.array([0.5, 0.5, 0.5])
         assert float(im.color_cosine_similarity(a, a * 2)) == pytest.approx(1.0, abs=1e-6)
@@ -379,8 +397,9 @@ class TestCoreset:
         assert len(set(idx.tolist())) == 25
 
     def test_detector_fit_on_coreset(self, rng):
-        """attach_anomaly_scores(coreset=...) fits the detector on the
-        distilled rows: the bank shrinks to 70% of the coreset size and
+        """attach_anomaly_scores(coreset=...) distills the bank INSIDE
+        fit, after the 70/30 split: the bank is the WHOLE coreset (not
+        70% of it — a punctured maximin cover loses coverage), and
         scoring still works end-to-end."""
         from ssad_tpu.constants import ModelOutputs
         from ssad_tpu.evaluation.inference import attach_anomaly_scores
@@ -392,6 +411,61 @@ class TestCoreset:
         outputs, det = attach_anomaly_scores(
             outputs, normality, k=3, coreset=40
         )
-        n_val = max(int(round(40 * 0.3)), 1)
-        assert det.bank.shape[0] == 40 - n_val
+        assert det.bank.shape[0] == 40
         assert np.isfinite(np.asarray(outputs.anomaly_maps)).all()
+
+    def test_coreset_bank_rows_come_from_train_split_only(self, rng):
+        """The calibration val rows must stay OUT of the bank: every
+        bank row is an original train-split row, and none equals a
+        val-split row (threshold calibrated on genuinely held-out
+        data)."""
+        from ssad_tpu.models.detector import AnomalyDetector
+
+        emb = rng.normal(size=(100, 16)).astype(np.float32)
+        key = jax.random.key(5)
+        det = AnomalyDetector(k=3).fit(jnp.asarray(emb), key, coreset=20)
+        perm = np.asarray(jax.random.permutation(key, 100))
+        n_val = 30
+        train_rows = {tuple(r) for r in emb[perm[n_val:]]}
+        val_rows = {tuple(r) for r in emb[perm[:n_val]]}
+        for row in np.asarray(det.bank):
+            assert tuple(row) in train_rows
+            assert tuple(row) not in val_rows
+
+    def test_coreset_fit_ranks_like_full_bank_on_clustered_normality(
+        self, rng
+    ):
+        """The regression the round-3 wiring caused: on clustered
+        normality (duplicate-heavy, like patch banks), a coreset at a
+        20% rate must separate normal from anomalous queries about as
+        well as the full bank.  Split-before-select keeps the whole
+        cover in the bank, so held-out normal queries score low."""
+        from sklearn.metrics import roc_auc_score
+
+        from ssad_tpu.models.detector import AnomalyDetector
+
+        centers = rng.normal(size=(12, 16)).astype(np.float32) * 4
+        normal = np.concatenate(
+            [c + rng.normal(size=(50, 16)).astype(np.float32) * 0.15
+             for c in centers]
+        )
+        rng.shuffle(normal)
+        q_normal = np.concatenate(
+            [c + rng.normal(size=(8, 16)).astype(np.float32) * 0.15
+             for c in centers]
+        )
+        q_anom = rng.normal(size=(40, 16)).astype(np.float32) * 4
+        queries = jnp.asarray(np.concatenate([q_normal, q_anom]))
+        labels = np.r_[np.zeros(len(q_normal)), np.ones(len(q_anom))]
+
+        full = AnomalyDetector(k=3).fit(jnp.asarray(normal), jax.random.key(0))
+        core = AnomalyDetector(k=3).fit(
+            jnp.asarray(normal), jax.random.key(0), coreset=120
+        )
+        auc_full = roc_auc_score(labels, np.asarray(full.predict(queries)))
+        auc_core = roc_auc_score(labels, np.asarray(core.predict(queries)))
+        assert auc_core > auc_full - 0.02, (auc_core, auc_full)
+        # and the calibrated threshold stays sane: held-out normal
+        # queries are not all flagged anomalous
+        flagged = np.asarray(core.predict(queries[: len(q_normal)]))
+        assert (flagged > core.threshold).mean() < 0.5
