@@ -19,6 +19,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ssad_tpu.constants import IMAGENET_MEAN, IMAGENET_STD
 
@@ -429,12 +430,89 @@ def upsample_anomaly_maps(maps: jax.Array, target_size: int = 256) -> jax.Array:
     """Blur(k=7) → ReLU → bilinear upsample (reference tools.py:394-399).
 
     maps: (B, s, s) or (B, 1, s, s); returns (B, target, target).
+
+    Anomaly scores are non-negative by construction (mean k-NN cosine
+    distance ≥ 0, Mahalanobis distance ≥ 0), which makes the ReLU
+    between the two linear stages a mathematical no-op — so the whole
+    pipeline is one linear operator per axis and runs as two matmuls
+    against a precomputed (target, s) blur⊗upsample matrix (the fused
+    path below; equal to the staged pipeline to f32 roundoff for any
+    non-negative input — tested).  `upsample_anomaly_maps_staged` keeps
+    the literal conv→ReLU→resize order as the oracle.
     """
     m = jnp.asarray(maps)
     if m.ndim == 4:  # (B,1,s,s) reference layout
+        m = m[:, 0]
+    return upsample_anomaly_maps_fused(m, target_size)
+
+
+def upsample_anomaly_maps_staged(maps: jax.Array, target_size: int = 256) -> jax.Array:
+    """The literal staged pipeline (depthwise blur convs → ReLU →
+    jax.image.resize) — the semantics oracle for the fused path, and
+    the correct choice for inputs that can be negative (there the ReLU
+    between stages is load-bearing and the composition differs)."""
+    m = jnp.asarray(maps)
+    if m.ndim == 4:
         m = m[:, 0]
     m = m[..., None]  # (B,s,s,1)
     m = gaussian_blur(m, ksize=7)
     m = jax.nn.relu(m)
     m = jax.vmap(lambda x: resize_bilinear(x, (target_size, target_size)))(m)
     return m[..., 0]
+
+
+def _reflect_blur_matrix(s: int, ksize: int, sigma: float) -> np.ndarray:
+    """(s, s) matrix of the reflect-padded separable gaussian blur along
+    one axis — row i is the kernel centered at i with jnp.pad 'reflect'
+    index folding (no repeated edge)."""
+    x = np.arange(ksize, dtype=np.float64) - (ksize - 1) / 2.0
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    k = k / k.sum()  # numpy twin of _gaussian_kernel1d (jit-safe)
+    pad = ksize // 2
+    mat = np.zeros((s, s), np.float64)
+    for i in range(s):
+        for t in range(ksize):
+            j = i + t - pad
+            if j < 0:
+                j = -j
+            elif j >= s:
+                j = 2 * s - 2 - j
+            mat[i, j] += k[t]
+    return mat
+
+
+@functools.lru_cache(maxsize=16)
+def _blur_upsample_matrix(s: int, target: int, ksize: int = 7) -> np.ndarray:
+    """(target, s) composite operator: reflect-pad gaussian blur then
+    half-pixel-centers bilinear upsample, one axis.  The bilinear half
+    is materialized by resizing the identity with jax.image.resize
+    itself, so the composite is EXACTLY upsample∘blur by construction
+    (tested against the staged pipeline to f32 roundoff)."""
+    sigma = torchvision_default_sigma(ksize)
+    blur = _reflect_blur_matrix(s, ksize, sigma)
+    # ensure_compile_time_eval: callers sit inside a jit trace, where
+    # omnistaging would turn this constant resize into a tracer
+    with jax.ensure_compile_time_eval():
+        up = np.asarray(
+            jax.image.resize(jnp.eye(s, dtype=jnp.float32), (target, s), "bilinear")
+        ).astype(np.float64)
+    return (up @ blur).astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("target_size",))
+def upsample_anomaly_maps_fused(maps: jax.Array, target_size: int = 256) -> jax.Array:
+    """blur→ReLU→bilinear for NON-NEGATIVE (B, s, s) maps as two
+    matmuls per image against the composed (target, s) operator.
+
+    Replaces two depthwise convs + jax.image.resize in the fused patch
+    scoring program (evaluation/inference.py): the operator matrices
+    are trace-time constants (256×29 floats), and the only HBM traffic
+    left is the unavoidable (B, target, target) output write.  f32 at
+    HIGHEST precision — scores feed metrics directly.
+    """
+    m = jnp.asarray(maps, jnp.float32)
+    s = m.shape[-1]
+    op = jnp.asarray(_blur_upsample_matrix(s, target_size))
+    tmp = jnp.einsum("ij,bjl->bil", op, m, precision=jax.lax.Precision.HIGHEST)
+    out = jnp.einsum("bil,kl->bik", tmp, op, precision=jax.lax.Precision.HIGHEST)
+    return jax.nn.relu(out)
