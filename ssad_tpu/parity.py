@@ -318,8 +318,20 @@ def run_parity(
                 },
             }
 
-    (out_root / "parity_summary.json").write_text(json.dumps(summary, indent=2))
-    _write_summary_md(out_root, summary, dataset_dir, subjects)
+    # merge with an existing summary so refreshing ONE mode (e.g. a
+    # patch-stage rerun after scoring fixes) keeps the other mode's rows
+    # in the published summary instead of silently dropping them
+    summary_path = out_root / "parity_summary.json"
+    merged = dict(summary)
+    if summary_path.exists():
+        try:
+            prior = json.loads(summary_path.read_text())
+        except json.JSONDecodeError:
+            prior = {}
+        for mode_name, rows in prior.items():
+            merged.setdefault(mode_name, rows)
+    summary_path.write_text(json.dumps(merged, indent=2))
+    _write_summary_md(out_root, merged, dataset_dir, subjects)
     if verbose:
         print(json.dumps(summary, indent=2))
     return summary

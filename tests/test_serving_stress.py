@@ -1,0 +1,138 @@
+"""Serving-stack composition under load: replicas + hot reload + drift
+tracking + open-loop traffic, exercised TOGETHER.
+
+Every piece here has its own unit coverage (test_serving_reload.py,
+test_serving_replicas.py, test_serving.py drift tests); this module is
+the integration the pieces must survive jointly: a `serve --devices 2`
+replica stack takes open-loop (`serve-bench --rate` style) traffic
+while POST /admin/reload swaps the models mid-stream, and afterwards
+the observability surfaces (/stats, /metrics) still report per-replica
+batch counts and score-drift KS for the NEW models.  The bar: zero
+failed (non-shed) requests across the whole run.
+
+Built through the PRODUCT loaders (`serving.cli._load_artifact_models`
+and `_make_http_server`) so the stack under test is exactly what
+`cli serve` runs — not a test-local reconstruction.
+
+The reference has no serving path at all (its inference is an offline
+Lightning predict loop, tools.py:310-390).
+"""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+
+@pytest.mark.slow
+class TestReloadUnderLoad:
+    @pytest.fixture(scope="class")
+    def artifact_path(self, tmp_path_factory):
+        """A real exported image-mode artifact with a baked calibration
+        grid (so the server's drift trackers are live) and a subject
+        name (so reload reports a stable model name)."""
+        import jax
+
+        from ssad_tpu.config import ModelConfig
+        from ssad_tpu.evaluation.inference import InferenceEngine
+        from ssad_tpu.models.peranet import build_model, init_model
+        from ssad_tpu.serving.drift import quantile_summary
+        from ssad_tpu.serving.export import export_scorer, save_artifact
+
+        model = build_model(ModelConfig(compute_dtype="float32"))
+        params, stats = init_model(
+            model, jax.random.key(0), input_shape=(1, 64, 64, 3)
+        )
+        engine = InferenceEngine(model, params, stats)
+        rng = np.random.default_rng(0)
+        bank = rng.normal(size=(50, 512)).astype(np.float32)
+        exported, meta = export_scorer(
+            engine, bank, mode="image", batch=4, imsize=(64, 64), k=3,
+            threshold=0.5,
+        )
+        meta["subject"] = "bottle"
+        meta["calibration"] = quantile_summary(
+            rng.uniform(0.0, 1.0, size=256)
+        )
+        return str(save_artifact(
+            tmp_path_factory.mktemp("stress") / "bottle_image.ssadexp",
+            exported, meta,
+        ))
+
+    def test_reload_under_open_loop_load_with_replicas(self, artifact_path):
+        from ssad_tpu.serving import loadgen
+        from ssad_tpu.serving.cli import _load_artifact_models, _make_http_server
+        from ssad_tpu.serving.client import ServingClient
+
+        loader = lambda: _load_artifact_models(  # noqa: E731
+            [artifact_path], max_delay_ms=5.0, max_queue=256, devices=2
+        )
+        models, _warm = loader()
+        server, frontend = _make_http_server(
+            "stdlib", host="127.0.0.1", port=0, score_timeout=60.0,
+            models=models, reloader=loader, max_queue=256,
+        )
+        server.start()
+        assert frontend == "stdlib"
+        host, port = "127.0.0.1", server.port
+        body = loadgen.npy_body((64, 64), seed=1)
+
+        report_box = {}
+
+        def offered_load():
+            # open-loop: requests are SCHEDULED at a fixed rate, so the
+            # reload window can't slow the offered traffic down (the
+            # coordinated-omission trap serve-bench --rate exists for)
+            report_box["report"] = loadgen.run_load(
+                host, port, body, concurrency=8, total=200, rate=25.0,
+                timeout=120.0,
+            )
+
+        reload_out = {}
+        try:
+            t = threading.Thread(target=offered_load)
+            t.start()
+            time.sleep(1.5)  # let the stream establish
+            with ServingClient(f"http://{host}:{port}", timeout=180.0) as c:
+                reload_out.update(c.reload())
+            t.join(timeout=240)
+            assert not t.is_alive(), "load generator did not finish"
+            report = report_box["report"]
+            # the bar: reload under load sheds/faults NOTHING at this
+            # offered rate — every request scored
+            assert report["errors"] == 0, report
+            assert report["shed"] == 0, report
+            assert report["ok"] == 200, report
+            assert reload_out["reloaded"] == ["bottle"]
+
+            # post-reload closed-loop burst: 8 in flight / batch 4
+            # keeps both NEW replicas pulling batches concurrently and
+            # feeds the fresh drift tracker past its min_scores gate
+            burst = loadgen.run_load(
+                host, port, body, concurrency=8, total=64, timeout=120.0
+            )
+            assert burst["errors"] == 0 and burst["shed"] == 0
+
+            stats = loadgen.fetch_stats(host, port)
+            assert stats["replicas"] == 2
+            rb = stats["replica_batches"]
+            assert len(rb) == 2 and min(rb) >= 1, rb  # both replicas ran
+            assert sum(rb) == stats["batches"]
+            # the new models' drift tracker is live and past its gate
+            sc = stats["scores"]
+            assert sc["recent_n"] >= 64
+            assert sc["drift_ks"] is not None and np.isfinite(sc["drift_ks"])
+            assert sc["drift_alert"] in (True, False)
+
+            # and the Prometheus surface exposes the same composition
+            import urllib.request
+
+            metrics = urllib.request.urlopen(
+                f"http://{host}:{port}/metrics", timeout=30
+            ).read().decode()
+            assert 'ssad_replica_batches_total{model="bottle",replica="1"}' in metrics
+            assert 'ssad_score_drift_ks{model="bottle"}' in metrics
+            assert 'ssad_requests_total{model="bottle"}' in metrics
+        finally:
+            server.stop()
