@@ -264,6 +264,7 @@ def cmd_evaluate(args) -> int:
         category_shards=args.category_shards,
         n_normality_images=args.n_normality_images,
         coreset=args.coreset,
+        knn_k=args.knn_k,
         device_metrics=False if args.host_metrics else None,
     )
     results = evaluate_categories(
@@ -771,6 +772,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="distill normality to N rows by k-center-greedy "
                         "coreset selection before fitting the detector "
                         "(default: keep every row)")
+    e.add_argument("--knn-k", type=int, default=EvalConfig().knn_k,
+                   help="k-NN neighbors for anomaly scoring (reference "
+                        "models.py:354 uses 3; with --coreset, k=1 is "
+                        "the PatchCore-faithful choice — a maximin-"
+                        "spread bank makes the 2nd/3rd neighbors far by "
+                        "construction, inflating normal scores)")
     e.add_argument("--host-metrics", action="store_true",
                    help="force the host numpy metric oracles instead of "
                         "the fused on-device pixel-metrics program "
