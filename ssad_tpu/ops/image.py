@@ -469,15 +469,21 @@ def _reflect_blur_matrix(s: int, ksize: int, sigma: float) -> np.ndarray:
     k = np.exp(-0.5 * (x / sigma) ** 2)
     k = k / k.sum()  # numpy twin of _gaussian_kernel1d (jit-safe)
     pad = ksize // 2
+
+    def fold(j: int) -> int:
+        # jnp.pad 'reflect' index folding, valid for ANY overhang —
+        # small maps (s < ksize, e.g. 2×2 test grids) reflect more
+        # than once, so fold modulo the 2s-2 reflection period
+        if s == 1:
+            return 0
+        period = 2 * s - 2
+        j %= period
+        return period - j if j >= s else j
+
     mat = np.zeros((s, s), np.float64)
     for i in range(s):
         for t in range(ksize):
-            j = i + t - pad
-            if j < 0:
-                j = -j
-            elif j >= s:
-                j = 2 * s - 2 - j
-            mat[i, j] += k[t]
+            mat[i, fold(i + t - pad)] += k[t]
     return mat
 
 

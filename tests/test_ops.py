@@ -66,7 +66,12 @@ class TestImageOps:
         assert out.shape == (2, 64, 64)
         assert float(jnp.min(out)) >= 0.0
 
-    @pytest.mark.parametrize("s,target", [(9, 64), (29, 256), (33, 256)])
+    @pytest.mark.parametrize(
+        "s,target",
+        # includes s < ksize (2, 3): the reflect fold wraps more than
+        # once there — the regression the small-grid CLI tests caught
+        [(2, 16), (3, 32), (9, 64), (29, 256), (33, 256)],
+    )
     def test_fused_upsample_matches_staged(self, rng, s, target):
         """The blur⊗upsample composite (two matmuls against a
         precomputed operator) must equal the staged conv→ReLU→resize
