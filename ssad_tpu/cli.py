@@ -63,7 +63,9 @@ def _train_cfg(args, n_model: int = 1) -> TrainConfig:
 def cmd_train(args) -> int:
     from ssad_tpu.data import mvtec
     from ssad_tpu.train import checkpoint as ckpt
-    from ssad_tpu.train.trainer import Trainer
+    from ssad_tpu.train.trainer import (
+        GracefulPreemption, Trainer, TrainingPreempted,
+    )
 
     cfg = _train_cfg(args)
     mesh = None
@@ -85,10 +87,30 @@ def cmd_train(args) -> int:
         val_fraction=cfg.data.train_val_split, seed=cfg.data.seed,
         patch_localization=cfg.data.patch_localization,
     )
-    result = Trainer(cfg, data, mesh=mesh).fit(
-        seed=cfg.seed, verbose=not args.quiet,
-        resume_dir=getattr(args, "resume_dir", None),
-    )
+    resume_dir = getattr(args, "resume_dir", None)
+    trainer = Trainer(cfg, data, mesh=mesh)
+    if resume_dir is not None:
+        # graceful preemption: SIGTERM finishes the epoch, the snapshot
+        # persists, and we exit 75 (EX_TEMPFAIL) with a resume hint —
+        # a supervisor re-running the SAME command continues from there
+        try:
+            with GracefulPreemption() as guard:
+                result = trainer.fit(
+                    seed=cfg.seed, verbose=not args.quiet,
+                    resume_dir=resume_dir, stop_requested=guard,
+                )
+        except TrainingPreempted as p:
+            print(json.dumps({
+                "preempted": True,
+                "subject": args.subject,
+                "stage": p.stage,
+                "epochs_done": p.epoch + 1,
+                "resume_dir": resume_dir,
+                "hint": "re-run the same command to continue",
+            }))
+            return 75
+    else:
+        result = trainer.fit(seed=cfg.seed, verbose=not args.quiet)
     out = Path(args.outputs_dir) / args.subject
     path = ckpt.save_checkpoint(out, result.params, result.batch_stats, result.bank, cfg)
     if result.best_params is not None:

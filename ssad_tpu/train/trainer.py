@@ -75,6 +75,60 @@ def bank_fill_subset(bank_fill_rows, y, y_hat, orig, emb, fill):
     return orig[:rows], emb[:rows], mask
 
 
+class TrainingPreempted(Exception):
+    """Raised at an epoch boundary after a drain signal arrived; the
+    resume snapshot for exactly that boundary has already been written
+    (GracefulPreemption + run_stage stop_requested)."""
+
+    def __init__(self, stage: str, epoch: int):
+        super().__init__(f"preempted after {stage} epoch {epoch + 1}")
+        self.stage = stage
+        self.epoch = epoch
+
+
+class GracefulPreemption:
+    """SIGTERM-aware drain for training runs (the fleet-manager /
+    preemption stop signal).
+
+    The reference has no failure story at all — a signal kills the run
+    mid-step and restart is manual (SURVEY §5.3).  Here crash-resume
+    already exists (epoch-granular snapshots via ``resume_dir``); this
+    context manager adds the CLEAN half: on SIGTERM the current epoch
+    finishes, the end-of-epoch snapshot is written as usual, and
+    ``run_stage`` raises :class:`TrainingPreempted` instead of starting
+    another epoch.  The CLI maps that to exit code 75 (EX_TEMPFAIL) and
+    a one-line JSON resume hint, so a supervisor restarting the same
+    command continues exactly where the drain stopped.  Mirrors the
+    serving stack's SIGTERM drain (serving/cli.py cmd_serve).
+
+    Single-controller only: in multi-process runs signals arrive
+    per-host and the stacked step's collectives would deadlock against
+    a partial stop — train-multi keeps its kill-resume story instead.
+    """
+
+    def __init__(self):
+        self.requested = False
+        self._prev = None
+
+    def __enter__(self):
+        import signal
+
+        def handler(signum, frame):
+            self.requested = True
+
+        self._prev = signal.signal(signal.SIGTERM, handler)
+        return self
+
+    def __exit__(self, *exc):
+        import signal
+
+        signal.signal(signal.SIGTERM, self._prev)
+        return False
+
+    def __call__(self) -> bool:
+        return self.requested
+
+
 class TrainState(NamedTuple):
     params: Any
     batch_stats: Any
@@ -282,6 +336,7 @@ class Trainer:
         log_every: Optional[int] = None,
         start_epoch: int = 0,
         on_epoch_end=None,
+        stop_requested=None,
     ) -> TrainState:
         train_step, eval_step, tx, steps_per_epoch = self._get_step_fns(stage)
         tr = self._device_data("train")
@@ -352,6 +407,10 @@ class Trainer:
                 )
             if on_epoch_end is not None:
                 on_epoch_end(stage, epoch, state, rng, result)
+            # drain AFTER the snapshot write: the boundary the caller
+            # resumes from is exactly the one that just persisted
+            if stop_requested is not None and epoch < epochs - 1 and stop_requested():
+                raise TrainingPreempted(stage, epoch)
         return state
 
     # --- resume snapshots (aux subsystem absent in the reference:
@@ -401,11 +460,16 @@ class Trainer:
         seed: int = 0,
         verbose: bool = True,
         resume_dir: Optional[str] = None,
+        stop_requested=None,
     ) -> TrainResult:
         """Full two-phase training (reference tools.training, :204-306).
 
         resume_dir: when set, an end-of-epoch snapshot is written there
         and an existing snapshot is continued from (epoch granularity).
+        stop_requested: optional zero-arg callable polled at each epoch
+        boundary (after the snapshot write); returning True raises
+        TrainingPreempted — the graceful half of the preemption story
+        (GracefulPreemption docstring).
         """
         # stage keys are FOLDED from the seed, not split from a running
         # stream: a run that crashes mid-projection and resumes must
@@ -455,6 +519,7 @@ class Trainer:
             state = self.run_stage(
                 state, "projection", self.cfg.optim.projection_epochs, k_stage,
                 result, log_every=log, start_epoch=start, on_epoch_end=on_epoch_end,
+                stop_requested=stop_requested,
             )
             # bank is cleared between phases (tools.py:273)
             bank = init_bank(self.cfg.model.memory_bank_size, self.cfg.model.latent_dim)
@@ -474,6 +539,7 @@ class Trainer:
         state = self.run_stage(
             state, "fine_tune", self.cfg.optim.fine_tune_epochs, k_stage, result,
             log_every=log, start_epoch=ft_start, on_epoch_end=on_epoch_end,
+            stop_requested=stop_requested,
         )
 
         result.params = state.params

@@ -379,3 +379,23 @@ class TestStackLargerThanMesh:
         assert m.shape == (stack, 2) and np.isfinite(m).all()
         # all four categories evolve independently
         assert len(set(np.round(m[:, 0], 6))) > 1
+
+
+class TestSingleProcessDistributedHelpers:
+    """Single-process behavior of the multi-controller exit-path pieces
+    (the two-process composition is covered end-to-end by
+    test_multiprocess.py::test_cli_train_multi_two_processes)."""
+
+    def test_barrier_is_noop_single_process(self):
+        from ssad_tpu.parallel import distributed as dist
+
+        assert not dist.is_multiprocess()
+        dist.barrier("ssad:test", timeout_s=0.1)  # returns immediately
+
+    def test_checkpointer_single_process_is_plain_pytree(self):
+        import orbax.checkpoint as ocp
+
+        from ssad_tpu.train.checkpoint import _checkpointer
+
+        ckptr = _checkpointer()
+        assert isinstance(ckptr, ocp.Checkpointer)

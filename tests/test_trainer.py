@@ -1,5 +1,8 @@
 """End-to-end trainer smoke tests on the fake MVTec tree (CPU, tiny)."""
 
+import os
+from pathlib import Path
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -124,3 +127,66 @@ class TestResume:
         payload = t.load_resume_snapshot(snap)
         assert payload["stage"] == "fine_tune"
         assert payload["epoch"] == cfg_short.optim.fine_tune_epochs
+
+
+@pytest.mark.slow
+class TestGracefulPreemption:
+    """SIGTERM drain: the run finishes its epoch, persists the resume
+    snapshot, exits 75 with a JSON hint — and re-running the SAME
+    command completes the schedule from that boundary."""
+
+    def test_sigterm_drains_and_resume_completes(self, fake_mvtec, tmp_path):
+        import json
+        import signal
+        import subprocess
+        import sys
+        import time
+
+        out = tmp_path / "out"
+        resume = tmp_path / "resume"
+        env = {**os.environ}
+        env["SSAD_JAX_CACHE"] = os.environ.get(
+            "SSAD_TEST_JAX_CACHE", "/tmp/ssad_tpu_test_jax_cache"
+        )
+        env["PYTHONPATH"] = str(Path(__file__).parent.parent) + os.pathsep + env.get(
+            "PYTHONPATH", ""
+        )
+        cmd = [
+            sys.executable, "-m", "ssad_tpu.cli", "train",
+            "--dataset-dir", str(fake_mvtec), "--outputs-dir", str(out),
+            "--subject", "bottle", "--imsize", "64", "--batch-size", "4",
+            "--min-dataset-length", "64",
+            "--projection-epochs", "2", "--fine-tune-epochs", "40",
+            "--resume-dir", str(resume), "--quiet",
+        ]
+        snap = resume / "resume_snapshot.pkl"
+        p = subprocess.Popen(cmd, env=env, stdout=subprocess.PIPE,
+                             stderr=subprocess.STDOUT, text=True)
+        try:
+            deadline = time.time() + 600
+            while time.time() < deadline and not snap.exists():
+                if p.poll() is not None:
+                    raise AssertionError(f"run ended early:\n{p.stdout.read()}")
+                time.sleep(0.5)
+            assert snap.exists(), "no snapshot appeared within the deadline"
+            p.send_signal(signal.SIGTERM)
+            stdout, _ = p.communicate(timeout=300)
+        finally:
+            if p.poll() is None:
+                p.kill()
+        assert p.returncode == 75, stdout
+        info = json.loads(stdout.strip().splitlines()[-1])
+        assert info["preempted"] is True
+        assert info["resume_dir"] == str(resume)
+        total = {"projection": 2, "fine_tune": 40}[info["stage"]]
+        assert info["epochs_done"] < total  # drained mid-schedule
+        assert snap.exists()
+
+        # same command again: continues from the drained boundary and
+        # finishes the whole schedule
+        r = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                           timeout=1200)
+        assert r.returncode == 0, r.stdout + r.stderr
+        hist = json.loads((out / "bottle" / "history.json").read_text())
+        assert len(hist["fine_tune_val_loss"]) == 40
+        assert (out / "bottle" / "best_model").exists()
