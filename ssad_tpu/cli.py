@@ -143,18 +143,37 @@ def _write_history_json(out_dir, history) -> None:
 
 
 def cmd_sweep(args) -> int:
+    from ssad_tpu.train.trainer import GracefulPreemption
+
     subjects = _subjects(args)
-    for subject in subjects:
-        if getattr(args, "skip_existing", False) and (
-            Path(args.outputs_dir) / subject / "best_model"
-        ).exists():
-            # restartable sweeps: a crash at category 12/15 must not
-            # re-train the finished 11 (each is hours on real data)
-            print(f"=== {subject}: checkpoint exists, skipping ===")
-            continue
-        args.subject = subject
-        print(f"=== training {subject} ===")
-        cmd_train(args)
+    base_resume = getattr(args, "resume_dir", None)
+    with GracefulPreemption() as guard:
+        for i, subject in enumerate(subjects):
+            if guard():
+                # drained BETWEEN subjects (a drain DURING a subject's
+                # fit surfaces as cmd_train's rc=75 below); finished
+                # categories keep their checkpoints — re-running with
+                # --skip-existing (or per-subject resume dirs) continues
+                print(json.dumps({
+                    "preempted": True,
+                    "remaining": subjects[i:],
+                    "hint": "re-run with --skip-existing to continue",
+                }))
+                return 75
+            if getattr(args, "skip_existing", False) and (
+                Path(args.outputs_dir) / subject / "best_model"
+            ).exists():
+                # restartable sweeps: a crash at category 12/15 must not
+                # re-train the finished 11 (each is hours on real data)
+                print(f"=== {subject}: checkpoint exists, skipping ===")
+                continue
+            args.subject = subject
+            if base_resume is not None:
+                args.resume_dir = str(Path(base_resume) / subject)
+            print(f"=== training {subject} ===")
+            rc = cmd_train(args)
+            if rc:
+                return rc
     return 0
 
 
@@ -726,6 +745,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--min-dataset-length", type=int, default=1000,
                    help="duplicate the train file list up to this length "
                         "per epoch (reference datasets.py:410)")
+    s.add_argument("--resume-dir", default=None,
+                   help="base directory for per-subject epoch-granular "
+                        "resume snapshots (<dir>/<subject>); also arms "
+                        "the SIGTERM graceful-preemption drain")
     s.add_argument("--quiet", action="store_true")
     s.set_defaults(fn=cmd_sweep)
 

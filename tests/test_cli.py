@@ -16,7 +16,8 @@ class TestParser:
         base = ["--dataset-dir", "d"]
         for argv in (
             ["train", *base, "--subject", "bottle", "--data-shards", "2"],
-            ["sweep", *base, "--subjects", "bottle,carpet"],
+            ["sweep", *base, "--subjects", "bottle,carpet",
+             "--resume-dir", "r"],
             ["train-multi", *base, "--subjects", "all", "--stack", "4"],
             ["evaluate", *base, "--models-dir", "m", "--data-shards", "4"],
             ["infer", *base, "--models-dir", "m", "--subject", "bottle",
