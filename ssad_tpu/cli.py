@@ -308,6 +308,14 @@ def cmd_evaluate(args) -> int:
         knn_k=args.knn_k,
         device_metrics=False if args.host_metrics else None,
     )
+    if args.coreset is not None and args.knn_k > 1:
+        print(
+            f"note: --coreset with --knn-k {args.knn_k}: a maximin-spread "
+            "bank makes the 2nd/3rd neighbors far by construction, "
+            "inflating normal scores — consider --knn-k 1 (measured: a "
+            "2.9% coreset at k=1 matches the full bank; SCORER_AB.md)",
+            file=sys.stderr,
+        )
     results = evaluate_categories(
         args.dataset_dir, args.models_dir, _subjects(args), cfg, args.outputs_dir
     )

@@ -41,9 +41,18 @@ def cmd_export(args) -> int:
     + calibrated threshold baked into one serialized StableHLO program;
     serving/export.py).  The reference has no deployment path at all —
     its inference is a live Lightning predict loop (tools.py:310-390)."""
+    import sys
+
     from ssad_tpu.serving.export import export_checkpoint
 
     compile_cache()
+    if args.coreset is not None and (args.knn_k is None or args.knn_k > 1):
+        print(
+            "note: --coreset with k>1 scoring: a maximin-spread bank makes "
+            "the 2nd/3rd neighbors far by construction, inflating normal "
+            "scores — consider --knn-k 1 (SCORER_AB.md)",
+            file=sys.stderr,
+        )
     ckpt = str(Path(args.models_dir) / args.subject / "best_model")
     out = args.out or str(
         Path(args.models_dir) / args.subject / f"{args.subject}_{args.mode}.ssadexp"

@@ -26,6 +26,16 @@ class TestParser:
             ["qa", *base, "--subject", "bottle"],
             ["profile", *base, "--subject", "bottle", "--profile-dir", "t"],
             ["parity", "--modes", "image", "--backbone", "wide_resnet50_2"],
+            # serving subcommands (registered from serving/cli.py —
+            # guards the register() wiring after the module split)
+            ["export", "--models-dir", "m", "--subject", "bottle",
+             "--mode", "patch", *base, "--coreset", "100", "--knn-k", "1"],
+            ["serve", "--artifact", "a.ssadexp", "--devices", "2",
+             "--frontend", "native"],
+            ["serve-bench", "--artifact", "a.ssadexp", "--rate", "25"],
+            ["score", "--artifact", "a.ssadexp", "img_dir"],
+            ["evaluate-artifact", "--artifact", "a.ssadexp", *base],
+            ["doctor"],
         ):
             args = p.parse_args(argv)
             assert callable(args.fn), argv
