@@ -207,3 +207,71 @@ class TestDoctor:
         out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert rc == 1 and out["ok"] is False
         assert "unreachable" in out["backend"]["error"]
+
+
+class TestSweepPreemption:
+    """Drain semantics of cmd_sweep (the heavy SIGTERM integration runs
+    in test_trainer.py::TestGracefulPreemption against cmd_train)."""
+
+    def _args(self, tmp_path, subjects="bottle,carpet"):
+        import argparse
+
+        return argparse.Namespace(
+            subjects=subjects, outputs_dir=str(tmp_path),
+            skip_existing=False, resume_dir=None, quiet=True,
+        )
+
+    def test_propagates_cmd_train_preemption_code(self, tmp_path, monkeypatch):
+        from ssad_tpu import cli
+
+        calls = []
+
+        def fake_train(args):
+            calls.append(args.subject)
+            return 75
+
+        monkeypatch.setattr(cli, "cmd_train", fake_train)
+        assert cli.cmd_sweep(self._args(tmp_path)) == 75
+        assert calls == ["bottle"]  # stops, does not start carpet
+
+    def test_signal_between_subjects_stops_before_next(
+        self, tmp_path, monkeypatch, capsys
+    ):
+        import os as _os
+        import signal as _signal
+
+        from ssad_tpu import cli
+
+        calls = []
+
+        def fake_train(args):
+            calls.append(args.subject)
+            # signal arrives while a subject trains WITHOUT a resume
+            # dir: cmd_train has no inner guard, the sweep guard
+            # latches it and stops before the next subject
+            _os.kill(_os.getpid(), _signal.SIGTERM)
+            return 0
+
+        monkeypatch.setattr(cli, "cmd_train", fake_train)
+        assert cli.cmd_sweep(self._args(tmp_path)) == 75
+        assert calls == ["bottle"]
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["preempted"] is True and out["remaining"] == ["carpet"]
+
+    def test_per_subject_resume_dirs(self, tmp_path, monkeypatch):
+        from ssad_tpu import cli
+
+        seen = {}
+
+        def fake_train(args):
+            seen[args.subject] = args.resume_dir
+            return 0
+
+        monkeypatch.setattr(cli, "cmd_train", fake_train)
+        args = self._args(tmp_path)
+        args.resume_dir = str(tmp_path / "resume")
+        assert cli.cmd_sweep(args) == 0
+        assert seen == {
+            "bottle": str(tmp_path / "resume" / "bottle"),
+            "carpet": str(tmp_path / "resume" / "carpet"),
+        }
