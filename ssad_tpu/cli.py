@@ -233,10 +233,38 @@ def cmd_train_multi(args) -> int:
         )
         for s in subjects
     ]
-    results = fit_categories(cfg, subjects, datas, mesh, seed=args.seed,
-                             verbose=not args.quiet, stack_size=args.stack,
-                             resume_dir=args.resume_dir)
+    from ssad_tpu.train.trainer import GracefulPreemption, TrainingPreempted
+
+    preempted = None
     try:
+        if args.resume_dir is not None:
+            # coordinated drain: SIGTERM on ANY controller latches a
+            # local flag; fit_categories polls the cross-process OR at
+            # each epoch boundary (dist.global_any), so every process
+            # raises TrainingPreempted at the SAME persisted boundary
+            with GracefulPreemption() as guard:
+                try:
+                    results = fit_categories(
+                        cfg, subjects, datas, mesh, seed=args.seed,
+                        verbose=not args.quiet, stack_size=args.stack,
+                        resume_dir=args.resume_dir, stop_requested=guard,
+                    )
+                except TrainingPreempted as p:
+                    preempted = p
+        else:
+            results = fit_categories(cfg, subjects, datas, mesh, seed=args.seed,
+                                     verbose=not args.quiet, stack_size=args.stack,
+                                     resume_dir=args.resume_dir)
+        if preempted is not None:
+            if jax.process_index() == 0:
+                print(json.dumps({
+                    "preempted": True,
+                    "stage": preempted.stage,
+                    "epochs_done": preempted.epoch + 1,
+                    "resume_dir": args.resume_dir,
+                    "hint": "re-run the same command on every host to continue",
+                }))
+            return 75
         if jax.process_index() == 0:
             _write_train_multi_artifacts(args, cfg, results)
     finally:
@@ -783,7 +811,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "per epoch (reference datasets.py:410)")
     tm.add_argument("--resume-dir", default=None,
                     help="write per-group epoch-granular resume snapshots "
-                         "here and continue from existing ones")
+                         "here and continue from existing ones; also arms "
+                         "the coordinated SIGTERM drain (a signal on ANY "
+                         "controller drains ALL of them at the same "
+                         "persisted epoch boundary; exit 75)")
     tm.add_argument("--coordinator", default=None, metavar="HOST:PORT",
                     help="join a multi-controller run: every host launches "
                          "this same command against one coordinator address "

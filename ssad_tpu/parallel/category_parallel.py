@@ -357,9 +357,18 @@ def fit_categories(
     verbose: bool = True,
     stack_size: int | None = None,
     resume_dir: str | None = None,
+    stop_requested=None,
 ):
     """Train all `subjects` simultaneously as one stacked SPMD program,
     with the reference's two-phase schedule applied to every category.
+
+    stop_requested: optional zero-arg callable polled at epoch
+    boundaries (after the group snapshot write).  In multi-process runs
+    the LOCAL answers are combined by dist.global_any — a SIGTERM lands
+    on one controller, but all controllers must drain at the same
+    boundary or the stacked step's collectives deadlock; raising
+    trainer.TrainingPreempted is therefore a synchronized, all-process
+    event.
 
     Training-quality parity with the single-category Trainer: every
     epoch runs a stacked validation pass (reference validates every
@@ -390,6 +399,13 @@ def fit_categories(
     data_by_subject = dict(zip(subjects, datas))
     results = {}
 
+    # consensus wrapper: every poll is a lockstep cross-process OR, so
+    # all controllers see the same answer at the same boundary
+    # (single-process: identity).  None stays None — zero overhead.
+    drain_check = None
+    if stop_requested is not None:
+        drain_check = lambda: dist.global_any(stop_requested())  # noqa: E731
+
     spec_groups, non_fixed = group_compatible_subjects(
         subjects, cfg.data.patch_localization
     )
@@ -410,6 +426,7 @@ def fit_categories(
                 resume_dir=(
                     str(_Path(resume_dir) / subject) if resume_dir else None
                 ),
+                stop_requested=drain_check,
             )
             results[subject] = CategoryFitResult(
                 jax.tree_util.tree_map(np.asarray, r.params),
@@ -603,6 +620,13 @@ def fit_categories(
                         snap_path, stage, epoch + 1, state, rng, histories,
                         best, stack=stack, backbone=cfg.model.backbone,
                     )
+                # drain AFTER the snapshot write (the persisted boundary
+                # is the one resumed from); the consensus poll keeps all
+                # controllers on the same branch
+                if drain_check is not None and epoch < epochs - 1 and drain_check():
+                    from ssad_tpu.train.trainer import TrainingPreempted
+
+                    raise TrainingPreempted(stage, epoch)
 
         # unstack per category (multi-process: gathers every process's
         # category shards so each controller holds all results)

@@ -132,6 +132,28 @@ def warmup_collectives(mesh) -> None:
     multihost_utils.process_allgather(np.zeros((1,), np.float32))
 
 
+def global_any(flag: bool) -> bool:
+    """Cross-process OR of a per-process boolean at a lockstep point.
+
+    The consensus primitive of the coordinated preemption drain: a
+    SIGTERM lands on ONE controller, but every controller must take the
+    same stop-or-continue branch at the same epoch boundary — a process
+    that stops stepping while the others enter the next epoch's
+    collectives deadlocks the stacked program.  One process_allgather
+    of a single float over the warmed one-device-per-process clique
+    (the same clique to_host uses) gives every process the same answer.
+    Single-process: the flag itself.
+    """
+    if not is_multiprocess():
+        return bool(flag)
+    from jax.experimental import multihost_utils
+
+    out = multihost_utils.process_allgather(
+        np.asarray([1.0 if flag else 0.0], np.float32)
+    )
+    return bool(np.max(out) > 0.0)
+
+
 def put_global(x, sharding) -> jax.Array:
     """Place identical-on-every-process host data onto a (possibly
     non-fully-addressable) global sharding.

@@ -101,9 +101,12 @@ class GracefulPreemption:
     command continues exactly where the drain stopped.  Mirrors the
     serving stack's SIGTERM drain (serving/cli.py cmd_serve).
 
-    Single-controller only: in multi-process runs signals arrive
-    per-host and the stacked step's collectives would deadlock against
-    a partial stop — train-multi keeps its kill-resume story instead.
+    Multi-controller composition: a raw per-host stop would deadlock
+    the stacked step's collectives, so train-multi combines the LOCAL
+    latched flags with a lockstep cross-process OR at each epoch
+    boundary (parallel/distributed.py::global_any) — a SIGTERM on ANY
+    controller drains ALL of them at the same persisted boundary
+    (tested end-to-end in test_multiprocess.py).
     """
 
     def __init__(self):

@@ -134,3 +134,101 @@ class TestMultiProcess:
         assert len(hist["fine_tune_val_loss"]) == 1
         # non-zero processes write no artifacts (hosts may not share a fs)
         assert not (outs[1] / "bottle").exists()
+
+    def test_cli_train_multi_coordinated_drain(self, fake_mvtec, tmp_path):
+        """Coordinated preemption across controllers: SIGTERM lands on
+        process 1 ONLY; the epoch-boundary consensus (dist.global_any)
+        makes BOTH processes drain at the same persisted boundary and
+        exit 75.  Re-running the same two commands completes the full
+        schedule and process 0 writes the artifacts."""
+        import signal
+        import time
+
+        env = {**os.environ}
+        env.pop("XLA_FLAGS", None)
+        env.pop("JAX_PLATFORMS", None)
+        env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+        env["SSAD_JAX_CACHE"] = os.environ.get(
+            "SSAD_TEST_JAX_CACHE", "/tmp/ssad_tpu_test_jax_cache"
+        )
+        port = 30300 + os.getpid() % 500
+        outs = [tmp_path / "out0", tmp_path / "out1"]
+        resume = tmp_path / "resume"  # same host == the shared-fs contract
+
+        def cmd(pid):
+            return [
+                sys.executable, "-m", "ssad_tpu.cli", "train-multi",
+                "--dataset-dir", str(fake_mvtec),
+                "--outputs-dir", str(outs[pid]),
+                "--subjects", "bottle", "--imsize", "64",
+                "--batch-size", "4", "--min-dataset-length", "4",
+                "--projection-epochs", "1", "--fine-tune-epochs", "12",
+                "--model-shards", "1", "--stack", "1",
+                "--resume-dir", str(resume),
+                "--coordinator", f"localhost:{port}",
+                "--num-processes", "2", "--process-id", str(pid),
+                "--local-devices", "4", "--quiet",
+            ]
+
+        snap = resume / "multi_bottle" / "resume_snapshot.pkl"
+        # worker output goes to FILES, not pipes: nobody drains a pipe
+        # while this test polls for the snapshot, and the per-program
+        # cpu_aot_loader stderr chatter (~2 KB x dozens of programs)
+        # overflows the 64 KB pipe buffer and deadlocks the workers
+        logs = [open(tmp_path / f"w{pid}.log", "w+") for pid in (0, 1)]
+        procs = [
+            subprocess.Popen(cmd(pid), env=env, cwd=REPO, stdout=log,
+                             stderr=subprocess.STDOUT, text=True)
+            for pid, log in zip((0, 1), logs)
+        ]
+
+        def text(i):
+            logs[i].flush()
+            return (tmp_path / f"w{i}.log").read_text()
+
+        try:
+            deadline = time.time() + 900
+            while time.time() < deadline and not snap.exists():
+                for i, p in enumerate(procs):
+                    if p.poll() is not None:
+                        raise AssertionError(f"worker died early:\n{text(i)}")
+                time.sleep(1)
+            assert snap.exists(), "no group snapshot within the deadline"
+            procs[1].send_signal(signal.SIGTERM)  # the NON-writer
+            for p in procs:
+                p.wait(timeout=600)
+            outs_text = [text(0), text(1)]
+        finally:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+            for log in logs:
+                log.close()
+        # consensus drained BOTH processes
+        assert procs[0].returncode == 75, outs_text[0]
+        assert procs[1].returncode == 75, outs_text[1]
+        info = json.loads(outs_text[0].strip().splitlines()[-1])
+        assert info["preempted"] is True
+        total = {"projection": 1, "fine_tune": 12}[info["stage"]]
+        assert info["epochs_done"] < total
+        assert not (outs[0] / "bottle").exists()  # no partial artifacts
+
+        # same commands again: continue from the drained boundary
+        # (file-backed output again — same pipe-overflow hazard)
+        log1 = open(tmp_path / "w1b.log", "w+")
+        p1 = subprocess.Popen(cmd(1), env=env, cwd=REPO, stdout=log1,
+                              stderr=subprocess.STDOUT, text=True)
+        try:
+            p0 = subprocess.run(cmd(0), env=env, cwd=REPO,
+                                capture_output=True, text=True, timeout=1200)
+            p1.wait(timeout=120)
+        finally:
+            if p1.poll() is None:
+                p1.kill()
+            log1.close()
+        out1 = (tmp_path / "w1b.log").read_text()
+        assert p0.returncode == 0, p0.stdout + p0.stderr
+        assert p1.returncode == 0, out1
+        hist = json.loads((outs[0] / "bottle" / "history.json").read_text())
+        assert len(hist["fine_tune_val_loss"]) == 12
+        assert (outs[0] / "bottle" / "best_model").exists()
