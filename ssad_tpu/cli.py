@@ -276,9 +276,27 @@ def cmd_train_multi(args) -> int:
         # mid-write (test_cli_train_multi_two_processes).  A pure
         # KV-store barrier has no collective deadline and absorbs the
         # skew regardless of how slow the writes are.
+        #
+        # When an exception is already propagating (a controller died
+        # with a non-preemption error), the dead peer will never reach
+        # the barrier: use a short timeout so survivors don't hang for
+        # the full 1200 s, and never let the barrier's own timeout
+        # exception mask the original traceback (raise-in-finally
+        # replaces the in-flight exception).
+        import sys as _sys
+
         from ssad_tpu.parallel import distributed as dist
 
-        dist.barrier("ssad:train_multi_done")
+        failing = _sys.exc_info()[0] is not None
+        try:
+            dist.barrier(
+                "ssad:train_multi_done", timeout_s=30.0 if failing else 1200.0
+            )
+        except Exception as be:
+            if not failing:
+                raise
+            print(f"train-multi: exit barrier skipped after error: {be}",
+                  file=_sys.stderr)
     return 0
 
 
@@ -336,7 +354,9 @@ def cmd_evaluate(args) -> int:
         knn_k=args.knn_k,
         device_metrics=False if args.host_metrics else None,
     )
-    if args.coreset is not None and args.knn_k > 1:
+    # (coreset + scorer=mahalanobis gets its no-effect note from
+    # attach_anomaly_scores — once per process, shared with `infer`)
+    if args.coreset is not None and args.scorer == "knn" and args.knn_k > 1:
         print(
             f"note: --coreset with --knn-k {args.knn_k}: a maximin-spread "
             "bank makes the 2nd/3rd neighbors far by construction, "

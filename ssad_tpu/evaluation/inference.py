@@ -401,6 +401,18 @@ def attach_anomaly_scores(
     if scorer == "mahalanobis":
         from ssad_tpu.models.detector import MahalanobisDetector
 
+        if coreset is not None and not getattr(
+            attach_anomaly_scores, "_coreset_noted", False
+        ):
+            import sys
+
+            attach_anomaly_scores._coreset_noted = True  # once per process
+            print(
+                "note: coreset has no effect with scorer=mahalanobis (the "
+                "Gaussian's moments are fixed size; a maximin subset would "
+                "bias them) — ignored",
+                file=sys.stderr,
+            )
         detector = MahalanobisDetector(
             patch_level=patch_localization,
             batch=num_images,
@@ -435,5 +447,12 @@ def load_engine(checkpoint_path: str) -> Tuple[InferenceEngine, Optional[MemoryB
 
 
 def upsample(anomaly_maps, target_size: int = 256):
-    """Blur → ReLU → bilinear upsample (reference tools.py:394-399)."""
+    """Blur → ReLU → bilinear upsample (reference tools.py:394-399).
+
+    Assumes NON-NEGATIVE inputs (k-NN / Mahalanobis anomaly scores are
+    ≥ 0 by construction): the fused path treats the mid-pipeline ReLU
+    as a no-op and folds blur⊗upsample into one linear operator.  For
+    signed maps (gradcam-like or residual scores) use
+    `ops.image.upsample_anomaly_maps_staged`, where the ReLU between
+    the two linear stages is load-bearing."""
     return im.upsample_anomaly_maps(anomaly_maps, target_size)

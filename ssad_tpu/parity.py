@@ -320,21 +320,58 @@ def run_parity(
 
     # merge with an existing summary so refreshing ONE mode (e.g. a
     # patch-stage rerun after scoring fixes) keeps the other mode's rows
-    # in the published summary instead of silently dropping them
+    # in the published summary instead of silently dropping them.
+    # Within a refreshed mode the merge is PER-SUBJECT: rerunning a
+    # subject subset updates just those rows, keeps the prior rows for
+    # the other subjects, and recomputes the mode-level means over the
+    # merged rows.  Rows from modes that are never rerun persist
+    # indefinitely — staleness semantics documented in PARITY.md.
     summary_path = out_root / "parity_summary.json"
-    merged = dict(summary)
+    prior = {}
     if summary_path.exists():
         try:
             prior = json.loads(summary_path.read_text())
         except json.JSONDecodeError:
             prior = {}
-        for mode_name, rows in prior.items():
-            merged.setdefault(mode_name, rows)
+    merged = merge_summaries(prior, summary)
     summary_path.write_text(json.dumps(merged, indent=2))
-    _write_summary_md(out_root, merged, dataset_dir, subjects)
+    all_subjects = sorted(
+        set(subjects).union(
+            *(m.get("per_subject", {}).keys() for m in merged.values()
+              if isinstance(m, dict))
+        )
+    )
+    _write_summary_md(out_root, merged, dataset_dir, all_subjects)
     if verbose:
         print(json.dumps(summary, indent=2))
     return summary
+
+
+def merge_summaries(prior: dict, summary: dict) -> dict:
+    """Merge a fresh parity summary into a previously published one.
+
+    Modes present only in `prior` are kept verbatim (a single-mode
+    rerun must not drop the other mode's published rows).  For modes
+    present in BOTH, the merge is PER-SUBJECT: the fresh run's rows win
+    for the subjects it covered, prior rows survive for the rest, and
+    the mode-level means are recomputed over the merged rows — so a
+    subject-subset rerun can no longer silently drop its siblings.
+    Rows from modes/subjects never rerun persist indefinitely
+    (staleness semantics in PARITY.md)."""
+    merged = {k: dict(v) if isinstance(v, dict) else v for k, v in summary.items()}
+    for mode_name, rows in prior.items():
+        if mode_name not in merged:
+            merged[mode_name] = rows
+            continue
+        prior_rows = rows.get("per_subject", {}) if isinstance(rows, dict) else {}
+        new = merged[mode_name]
+        combined = {**prior_rows, **new.get("per_subject", {})}
+        new["per_subject"] = combined
+        for metric in [k for k in new if k not in ("reference", "per_subject")]:
+            vals = [v[metric] for v in combined.values() if metric in v]
+            if vals:
+                new[metric] = float(np.mean(vals))
+    return merged
 
 
 def _write_summary_md(out_root: Path, summary, dataset_dir, subjects) -> None:

@@ -46,7 +46,14 @@ def cmd_export(args) -> int:
     from ssad_tpu.serving.export import export_checkpoint
 
     compile_cache()
-    if args.coreset is not None and (args.knn_k is None or args.knn_k > 1):
+    if args.coreset is not None and args.scorer == "mahalanobis":
+        print(
+            "note: --coreset has no effect with --scorer mahalanobis (the "
+            "Gaussian's mean/precision are fixed size regardless of row "
+            "count; a maximin subset would bias the moments) — flag ignored",
+            file=sys.stderr,
+        )
+    elif args.coreset is not None and (args.knn_k is None or args.knn_k > 1):
         print(
             "note: --coreset with k>1 scoring: a maximin-spread bank makes "
             "the 2nd/3rd neighbors far by construction, inflating normal "

@@ -54,6 +54,48 @@ class TestSyntheticDataset:
         np.testing.assert_array_equal(ia, ib)
 
 
+class TestSummaryMerge:
+    """merge_summaries: per-subject merge within a mode (ADVICE r4)."""
+
+    def test_subject_subset_rerun_keeps_siblings(self):
+        prior = {
+            "image": {
+                "image_auroc": 0.90,
+                "reference": {"image_auroc": 0.9401},
+                "per_subject": {
+                    "bottle": {"image_auroc": 0.95},
+                    "carpet": {"image_auroc": 0.85},
+                },
+            }
+        }
+        fresh = {
+            "image": {
+                "image_auroc": 0.99,
+                "reference": {"image_auroc": 0.9401},
+                "per_subject": {"bottle": {"image_auroc": 0.99}},
+            }
+        }
+        merged = parity.merge_summaries(prior, fresh)
+        rows = merged["image"]["per_subject"]
+        assert rows["bottle"]["image_auroc"] == 0.99  # fresh wins
+        assert rows["carpet"]["image_auroc"] == 0.85  # sibling kept
+        # mode mean recomputed over the MERGED rows, not the subset
+        assert merged["image"]["image_auroc"] == pytest.approx((0.99 + 0.85) / 2)
+
+    def test_other_mode_kept_verbatim(self):
+        prior = {"patch": {"pixel_auroc": 0.92, "per_subject": {"x": {"pixel_auroc": 0.92}}}}
+        fresh = {"image": {"image_auroc": 0.95, "per_subject": {"x": {"image_auroc": 0.95}}}}
+        merged = parity.merge_summaries(prior, fresh)
+        assert merged["patch"] == prior["patch"]
+        assert merged["image"]["image_auroc"] == 0.95
+
+    def test_fresh_not_mutated(self):
+        prior = {"image": {"image_auroc": 0.9, "per_subject": {"a": {"image_auroc": 0.9}}}}
+        fresh = {"image": {"image_auroc": 0.5, "per_subject": {"b": {"image_auroc": 0.5}}}}
+        parity.merge_summaries(prior, fresh)
+        assert set(fresh["image"]["per_subject"]) == {"b"}
+
+
 class TestArtificialReport:
     def test_per_class_report(self):
         from ssad_tpu.constants import ModelOutputs
