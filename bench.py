@@ -15,8 +15,19 @@ Measured pieces:
      32/stride-8 → embeddings → k-NN against a 1000-row bank
      (reference hot loop #4, models.py:363-370; target <2 ms/image).
 
-Prints ONE JSON line; the headline metric keeps the round-1 definition,
-extra measurements ride as additional keys:
+Emission contract (timeout-proof, round-5 redesign): the script prints
+a COMPLETE JSON line after EVERY finished section, each a superset of
+the previous — the driver keeps the tail of stdout, so the last
+complete line wins and a wall-clock kill can no longer erase the
+round's whole perf record (round 4's driver timeout left rc=124 and
+parsed:null).  The first line lands as soon as the headline synthesis
+number exists; the core trio (synthesis, default train step, patch
+scoring) each flush their own line; extended sections (A/B variants,
+b256, image scoring, wide-bank k-NN, pixel metrics) are budget-guarded
+by SSAD_BENCH_BUDGET_S (default 1500 s, under the driver's observed
+~30 min timeout) and failure-isolated — a skipped/failed section is
+recorded in "sections_skipped"/"section_errors" instead of sinking the
+artifact.  Keys:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
    "train_step_ms": N, "train_images_per_sec": N, "train_mfu": N,
    "train_step_fill32_ms": N, "train_step_s2d_ms": N,
@@ -24,14 +35,21 @@ extra measurements ride as additional keys:
    "patch_score_ms_per_image": N, "patch_score_bs16_ms_per_image": N,
    "image_score_ms_per_image": N, "pixel_metrics_device_ms": N,
    "pixel_metrics_host_ms": N, "patch_roofline": {...},
-   "train_roofline": {...}, "device": ...}
+   "train_roofline": {...}, "device": ..., "elapsed_s": N,
+   "sections_skipped": [...]}
 
 The patch_roofline / train_roofline blocks are the decomposition behind
-any cross-device or headroom claim: XLA cost-analysis FLOPs + bytes,
-the chip's peak FLOP/s and HBM bandwidth, the speed-of-light time for
-each resource, and which one binds — so converting the measured number
-to another TPU generation is arithmetic on the BINDING resource, not
-hope, and "frac_of_sol" says how much headroom actually remains.
+any cross-device or headroom claim: the chip's peak FLOP/s and HBM
+bandwidth, the speed-of-light time for each resource, and which one
+binds — so converting the measured number to another TPU generation is
+arithmetic on the BINDING resource, not hope, and "frac_of_sol" says
+how much headroom actually remains.  train_roofline's memory roof uses
+a MIN-TRAFFIC bytes basis (batch rows read + full train state
+read+written once; activations assumed on-chip — optimistic, as a
+speed-of-light must be), because XLA's "bytes accessed" sums every
+fusion operand including VMEM-resident reuse and round 4 published a
+"roof" the measured step beat by 21%; the XLA number is still reported
+as xla_bytes_accessed for context.
 """
 
 import json
@@ -196,22 +214,48 @@ def bench_train_step(rng, h, w, batch, n_images, model_cfg=None, iters=30):
     roofline = None
     if cost["flops"]:
         mfu = cost["flops"] / dt / _peak_flops()
-    if cost["flops"] and cost["bytes"]:
-        # same decomposition as the patch path: which resource binds the
-        # fused train step, its speed-of-light time, and how close the
-        # measured step sits to it — the arithmetic behind any "headroom
-        # is structural" claim (reference hot loop #2, models.py:256-277)
+    if cost["flops"]:
+        # which resource binds the fused train step, its speed-of-light
+        # time, and how close the measured step sits to it — the
+        # arithmetic behind any "headroom is structural" claim
+        # (reference hot loop #2, models.py:256-277).
+        #
+        # Memory roof basis (round-5 fix): MINIMUM HBM traffic the step
+        # must do — the sampled batch rows read once + the full train
+        # state (params, BN stats, optimizer momentum) read and written
+        # once, activations assumed VMEM-resident.  That is a true
+        # lower bound, so sol ≤ measured and frac_of_sol ≤ 1 by
+        # construction.  XLA's "bytes accessed" (round 4's basis) sums
+        # every fusion operand including on-chip reuse — it overcounts
+        # unique traffic and produced a "roof" the measured step beat
+        # by 21%; kept as xla_bytes_accessed for context only.
+        def _nbytes(tree) -> float:
+            return float(sum(
+                x.size * x.dtype.itemsize
+                for x in jax.tree_util.tree_leaves(tree)
+                if hasattr(x, "size")
+            ))
+
+        state_bytes = _nbytes((state.params, state.batch_stats, state.opt_state))
+        batch_bytes = float(batch * h * w * 3 * 4)  # f32 rows gathered in-graph
+        bytes_min = batch_bytes + 2.0 * state_bytes
         peak_flops, peak_bw, tag = _peak()
         t_flops = cost["flops"] / peak_flops
-        t_bytes = cost["bytes"] / peak_bw
+        t_bytes = bytes_min / peak_bw
         sol = max(t_flops, t_bytes)
         roofline = {
             "flops": cost["flops"],
-            "bytes": cost["bytes"],
+            "bytes_min": bytes_min,
+            "xla_bytes_accessed": cost["bytes"],
+            "bytes_basis": (
+                "min-traffic: batch rows read + state read+write once; "
+                "activations assumed on-chip (xla_bytes_accessed "
+                "overcounts fusion-operand reuse)"
+            ),
             "sol_compute_ms": round(t_flops * 1e3, 3),
             "sol_memory_ms": round(t_bytes * 1e3, 3),
             "bound": "memory" if t_bytes > t_flops else "compute",
-            "arithmetic_intensity": round(cost["flops"] / cost["bytes"], 2),
+            "arithmetic_intensity": round(cost["flops"] / bytes_min, 2),
             "measured_ms": round(dt * 1e3, 2),
             "frac_of_sol": round(sol / dt, 3),
             "peak_basis": tag,
@@ -378,7 +422,7 @@ def bench_pixel_metrics(rng, n_images=120, h=256, w=256):
     return best * 1e3, host_ms
 
 
-def _probe_backend(timeout_s: float = 270.0) -> str | None:
+def _probe_backend(timeout_s: float = 120.0) -> str | None:
     """Reach the backend in a SUBPROCESS with a hard timeout.
 
     Through the remote TPU tunnel, `jax.devices()` does not error when
@@ -404,7 +448,15 @@ def _probe_backend(timeout_s: float = 270.0) -> str | None:
 
 
 def main() -> None:
+    import os
+
     from ssad_tpu.config import ModelConfig
+
+    t0 = time.monotonic()
+    budget = float(os.environ.get("SSAD_BENCH_BUDGET_S", "1500"))
+
+    def remaining() -> float:
+        return budget - (time.monotonic() - t0)
 
     err = _probe_backend()
     if err is not None:
@@ -412,7 +464,7 @@ def main() -> None:
             "metric": "aug_train_images_per_sec_per_chip",
             "value": None, "unit": "images/sec", "vs_baseline": None,
             "error": err,
-        }))
+        }), flush=True)
         raise SystemExit(1)
 
     rng = np.random.default_rng(0)
@@ -420,57 +472,104 @@ def main() -> None:
     batch = 96
     n_images = 220  # typical MVTec train-set size
 
+    record = {
+        "metric": "aug_train_images_per_sec_per_chip",
+        "value": None,
+        "unit": "images/sec",
+        "vs_baseline": None,
+        "device": jax.devices()[0].device_kind,
+        "budget_s": budget,
+    }
+    skipped: list = []
+
+    def emit() -> None:
+        record["elapsed_s"] = round(time.monotonic() - t0, 1)
+        print(json.dumps(record), flush=True)
+
+    # ---- core trio: each flushes its own complete line the moment it
+    # lands, so a driver timeout keeps everything measured so far ----
     images_per_sec = bench_synthesis(rng, h, w, batch, n_images)
+    record["value"] = round(images_per_sec, 1)
+    record["vs_baseline"] = round(images_per_sec / BASELINE_IMAGES_PER_SEC, 3)
+    emit()
+
     step_ms, train_ips, mfu, train_roofline = bench_train_step(
         rng, h, w, batch, n_images
     )
-    # A/B variants (labeled, not the headline): bank_fill_rows=32 is the
-    # round-2 throughput opt-in (≈⅓ the fill-forward work); stem_s2d is
-    # the space-to-depth conv1 experiment (exact equivalence); batch 256
-    # is the measured-throughput batch recommendation (the reference's
-    # bs-96 stays the accuracy-parity default, datasets.py:501)
-    fill32_ms, _, _, _ = bench_train_step(
-        rng, h, w, batch, n_images, ModelConfig(bank_fill_rows=32), iters=20
-    )
-    s2d_ms, _, _, _ = bench_train_step(
-        rng, h, w, batch, n_images, ModelConfig(stem_s2d=True), iters=20
-    )
-    b256_ms, b256_ips, _, _ = bench_train_step(
-        rng, h, w, 256, n_images, iters=12
-    )
-    patch_ms, roofline = bench_patch_scoring(rng, h, w)
-    patch16_ms, _ = bench_patch_scoring(rng, h, w, bs=16)
-    image_ms = bench_image_scoring(rng, h, w)
-    knn_tiled_ms, knn_xla_ms = bench_knn_wide_bank(rng)
-    pxm_dev_ms, pxm_host_ms = bench_pixel_metrics(rng)
+    record["train_step_ms"] = round(step_ms, 2)
+    record["train_images_per_sec"] = round(train_ips, 1)
+    record["train_mfu"] = round(mfu, 4) if mfu else None
+    record["train_roofline"] = train_roofline
+    emit()
 
-    print(
-        json.dumps(
-            {
-                "metric": "aug_train_images_per_sec_per_chip",
-                "value": round(images_per_sec, 1),
-                "unit": "images/sec",
-                "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 3),
-                "train_step_ms": round(step_ms, 2),
-                "train_images_per_sec": round(train_ips, 1),
-                "train_mfu": round(mfu, 4) if mfu else None,
-                "train_step_fill32_ms": round(fill32_ms, 2),
-                "train_step_s2d_ms": round(s2d_ms, 2),
-                "train_step_b256_ms": round(b256_ms, 2),
-                "train_b256_images_per_sec": round(b256_ips, 1),
-                "patch_score_ms_per_image": round(patch_ms, 3),
-                "patch_score_bs16_ms_per_image": round(patch16_ms, 3),
-                "image_score_ms_per_image": round(image_ms, 3),
-                "knn_wide_bank_tiled_ms": round(knn_tiled_ms, 3),
-                "knn_wide_bank_xla_ms": round(knn_xla_ms, 3),
-                "pixel_metrics_device_ms": round(pxm_dev_ms, 2),
-                "pixel_metrics_host_ms": round(pxm_host_ms, 2),
-                "patch_roofline": roofline,
-                "train_roofline": train_roofline,
-                "device": jax.devices()[0].device_kind,
-            }
+    patch_ms, roofline = bench_patch_scoring(rng, h, w)
+    record["patch_score_ms_per_image"] = round(patch_ms, 3)
+    record["patch_roofline"] = roofline
+    emit()
+
+    # ---- extended sections: budget-guarded (min_s ≈ worst-case cold
+    # compile through the tunnel + measurement) and failure-isolated;
+    # most valuable first so a tight budget sheds the cheap tail ----
+    record["sections_skipped"] = skipped
+
+    def section(name: str, min_s: float, fn) -> None:
+        if remaining() < min_s:
+            skipped.append(name)
+        else:
+            try:
+                fn()
+            except Exception as e:  # never sink the artifact
+                record.setdefault("section_errors", {})[name] = repr(e)[:200]
+        emit()
+
+    # A/B variants (labeled, not the headline): batch 256 is the
+    # measured-throughput batch recommendation (the reference's bs-96
+    # stays the accuracy-parity default, datasets.py:501); bank_fill_
+    # rows=32 is the round-2 throughput opt-in (≈⅓ the fill-forward
+    # work); stem_s2d is the space-to-depth conv1 experiment
+    def _b256() -> None:
+        ms, ips, _, _ = bench_train_step(rng, h, w, 256, n_images, iters=12)
+        record["train_step_b256_ms"] = round(ms, 2)
+        record["train_b256_images_per_sec"] = round(ips, 1)
+
+    def _fill32() -> None:
+        ms, _, _, _ = bench_train_step(
+            rng, h, w, batch, n_images, ModelConfig(bank_fill_rows=32), iters=20
         )
-    )
+        record["train_step_fill32_ms"] = round(ms, 2)
+
+    def _s2d() -> None:
+        ms, _, _, _ = bench_train_step(
+            rng, h, w, batch, n_images, ModelConfig(stem_s2d=True), iters=20
+        )
+        record["train_step_s2d_ms"] = round(ms, 2)
+
+    def _patch16() -> None:
+        ms, _ = bench_patch_scoring(rng, h, w, bs=16)
+        record["patch_score_bs16_ms_per_image"] = round(ms, 3)
+
+    def _image() -> None:
+        record["image_score_ms_per_image"] = round(
+            bench_image_scoring(rng, h, w), 3
+        )
+
+    def _knn() -> None:
+        tiled_ms, xla_ms = bench_knn_wide_bank(rng)
+        record["knn_wide_bank_tiled_ms"] = round(tiled_ms, 3)
+        record["knn_wide_bank_xla_ms"] = round(xla_ms, 3)
+
+    def _pxm() -> None:
+        dev_ms, host_ms = bench_pixel_metrics(rng)
+        record["pixel_metrics_device_ms"] = round(dev_ms, 2)
+        record["pixel_metrics_host_ms"] = round(host_ms, 2)
+
+    section("train_step_b256", 300, _b256)
+    section("train_step_fill32", 240, _fill32)
+    section("train_step_s2d", 240, _s2d)
+    section("patch_score_bs16", 180, _patch16)
+    section("image_scoring", 120, _image)
+    section("knn_wide_bank", 120, _knn)
+    section("pixel_metrics", 120, _pxm)
 
 
 if __name__ == "__main__":
