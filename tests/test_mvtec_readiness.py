@@ -1,0 +1,122 @@
+"""Real-MVTec readiness rehearsal (round-4 verdict #7).
+
+The two flags that real-data parity will need — `--dataset-dir` over an
+MVTec-layout tree and `--pretrained-backbone` over a torchvision-format
+ResNet-18 state_dict — are each unit-covered, but nothing proved they
+COMPOSE end-to-end through the product CLI; an unexercised composition
+can rot.  This rehearses the exact command documented in README for the
+day MVTec + ImageNet weights appear:
+
+    cli train --dataset-dir <mvtec> --subject bottle \
+        --pretrained-backbone resnet18.pth ...
+    cli evaluate --dataset-dir <mvtec> --models-dir ...
+
+on a fabricated MVTec-layout tree (conftest `fake_mvtec`) and a
+fabricated torchvision-naming state_dict (the torch oracle from
+test_ref_checkpoint — identical keys/shapes to torchvision resnet18,
+reference models.py:58-62 IMAGENET1K_V1 init).
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from ssad_tpu.cli import main
+
+
+@pytest.mark.slow
+class TestMvtecReadiness:
+    def test_pretrained_backbone_composes_with_dataset_dir(
+        self, fake_mvtec, tmp_path, capsys
+    ):
+        # torchvision-format resnet18 weights (exact torchvision keys,
+        # incl. BN running stats, which the converter must carry —
+        # reference loads the FULL state dict, models.py:59)
+        from test_ref_checkpoint import _TorchResNet18
+
+        sd = _TorchResNet18().state_dict()
+        assert "layer4.1.bn2.running_var" in sd  # torchvision naming
+        pth = tmp_path / "resnet18.pth"
+        torch.save(sd, pth)
+
+        models_dir = tmp_path / "models"
+        rc = main([
+            "train", "--dataset-dir", str(fake_mvtec), "--subject", "bottle",
+            "--imsize", "64", "--batch-size", "4", "--min-dataset-length", "4",
+            "--projection-epochs", "1", "--fine-tune-epochs", "1",
+            "--pretrained-backbone", str(pth),
+            "--outputs-dir", str(models_dir), "--quiet",
+        ])
+        assert rc == 0
+        assert (models_dir / "bottle" / "best_model").exists()
+
+        # the imported weights actually reached the checkpoint: conv1 of
+        # the saved model is essentially the converted torch kernel
+        # (phase 1 trains with the backbone FROZEN, reference
+        # tools.py:252-274; one tiny fine-tune step moves it ~nothing),
+        # while an independent random init would be uncorrelated
+        from ssad_tpu.train.checkpoint import load_checkpoint
+        from ssad_tpu.utils.torch_weights import convert_resnet_state_dict
+
+        params, batch_stats, _bank, _cfg = load_checkpoint(
+            models_dir / "bottle" / "best_model"
+        )
+        bb_params, bb_stats = convert_resnet_state_dict(sd)
+
+        def conv1(tree):
+            node = tree["backbone"]
+            # tolerate either {'conv1': {'kernel': ...}} nesting or
+            # flattened naming — find the first conv kernel leaf
+            import jax
+
+            leaves = [
+                (".".join(map(str, path)), leaf)
+                for path, leaf in jax.tree_util.tree_leaves_with_path(
+                    node, is_leaf=lambda x: hasattr(x, "shape")
+                )
+            ]
+            for name, leaf in leaves:
+                if "conv1" in name.lower() and getattr(leaf, "ndim", 0) == 4:
+                    return np.asarray(leaf, dtype=np.float32)
+            raise AssertionError([n for n, _ in leaves][:10])
+
+        got, want = conv1(params).ravel(), conv1(bb_params).ravel()
+        corr = float(np.corrcoef(got, want)[0, 1])
+        assert corr > 0.99, corr
+
+        # BN running stats imported too (eval-mode embeddings are wrong
+        # without them): the torch bn1 running_mean must appear in the
+        # checkpoint's batch_stats, shifted only by the tiny fine-tune
+        import jax
+
+        stat_leaves = [
+            (".".join(map(str, path)).lower(), np.asarray(leaf, np.float32))
+            for path, leaf in jax.tree_util.tree_leaves_with_path(
+                batch_stats["backbone"]
+            )
+        ]
+        want_mean = sd["bn1.running_mean"].numpy()
+        matches = [
+            leaf for name, leaf in stat_leaves
+            if leaf.shape == want_mean.shape
+            and "mean" in name
+            and float(np.corrcoef(leaf, want_mean)[0, 1]) > 0.99
+        ]
+        assert matches, [n for n, _ in stat_leaves][:10]
+
+        # evaluate composes on top of the trained checkpoint
+        out_dir = tmp_path / "eval"
+        rc = main([
+            "evaluate", "--dataset-dir", str(fake_mvtec),
+            "--models-dir", str(models_dir), "--subjects", "bottle",
+            "--imsize", "64", "--outputs-dir", str(out_dir),
+        ])
+        assert rc == 0
+        text = capsys.readouterr().out
+        assert "image_auroc=" in text
+        # the reference-format score tables exist (evaluator.py:496-564
+        # layout: tables/{csv,latex,markdown}/image_all_scores.*)
+        table = out_dir / "tables" / "markdown" / "image_all_scores.md"
+        assert table.exists(), list((out_dir / "tables").rglob("*"))
+        assert "bottle" in table.read_text()
