@@ -153,6 +153,12 @@ class TestGracefulPreemption:
         )
         cmd = [
             sys.executable, "-m", "ssad_tpu.cli", "train",
+            # force CPU via the CLI flag: the inherited JAX_PLATFORMS=cpu
+            # env var is IGNORED under the axon sitecustomize, so without
+            # this the subprocess silently trains through the remote TPU
+            # tunnel and the snapshot deadline depends on tunnel weather
+            # (observed >600 s on a cold-warming day)
+            "--platform", "cpu",
             "--dataset-dir", str(fake_mvtec), "--outputs-dir", str(out),
             "--subject", "bottle", "--imsize", "64", "--batch-size", "4",
             "--min-dataset-length", "64",
