@@ -268,36 +268,44 @@ def cmd_train_multi(args) -> int:
         if jax.process_index() == 0:
             _write_train_multi_artifacts(args, cfg, results)
     finally:
-        # Hold EVERY controller here until process 0's artifact writes
-        # are done.  Returning early (the old behavior) dropped fast
-        # processes into jax.distributed's atexit Shutdown barrier;
-        # when process 0's checkpoint + matplotlib writing outlasted
-        # that deadline, the coordination service fatally killed it
-        # mid-write (test_cli_train_multi_two_processes).  A pure
-        # KV-store barrier has no collective deadline and absorbs the
-        # skew regardless of how slow the writes are.
-        #
-        # When an exception is already propagating (a controller died
-        # with a non-preemption error), the dead peer will never reach
-        # the barrier: use a short timeout so survivors don't hang for
-        # the full 1200 s, and never let the barrier's own timeout
-        # exception mask the original traceback (raise-in-finally
-        # replaces the in-flight exception).
         import sys as _sys
 
-        from ssad_tpu.parallel import distributed as dist
-
-        failing = _sys.exc_info()[0] is not None
-        try:
-            dist.barrier(
-                "ssad:train_multi_done", timeout_s=30.0 if failing else 1200.0
-            )
-        except Exception as be:
-            if not failing:
-                raise
-            print(f"train-multi: exit barrier skipped after error: {be}",
-                  file=_sys.stderr)
+        _train_multi_exit_barrier(failing=_sys.exc_info()[0] is not None)
     return 0
+
+
+def _train_multi_exit_barrier(failing: bool) -> None:
+    """Exit rendezvous for `train-multi` controllers.
+
+    Hold EVERY controller until process 0's artifact writes are done.
+    Returning early (the old behavior) dropped fast processes into
+    jax.distributed's atexit Shutdown barrier; when process 0's
+    checkpoint + matplotlib writing outlasted that deadline, the
+    coordination service fatally killed it mid-write
+    (test_cli_train_multi_two_processes).  A pure KV-store barrier has
+    no collective deadline and absorbs the skew regardless of how slow
+    the writes are.
+
+    `failing` = an exception is already propagating (a controller died
+    with a non-preemption error).  The dead peer will never reach the
+    barrier: use a short timeout so survivors don't hang for the full
+    1200 s, and never let the barrier's own timeout exception mask the
+    original traceback (raise-in-finally replaces the in-flight
+    exception) — log and swallow instead.
+    """
+    import sys as _sys
+
+    from ssad_tpu.parallel import distributed as dist
+
+    try:
+        dist.barrier(
+            "ssad:train_multi_done", timeout_s=30.0 if failing else 1200.0
+        )
+    except Exception as be:
+        if not failing:
+            raise
+        print(f"train-multi: exit barrier skipped after error: {be}",
+              file=_sys.stderr)
 
 
 def _write_train_multi_artifacts(args, cfg, results) -> None:

@@ -139,6 +139,49 @@ class TestTrainMultiCheckpointConfig:
             assert json.loads((tmp_path / s / "history.json").read_text()) == {}
 
 
+class TestTrainMultiExitBarrier:
+    """ADVICE r4: a failing controller's exit barrier must be short and
+    must never mask the original traceback."""
+
+    def _patch(self, monkeypatch, raise_exc):
+        from ssad_tpu.parallel import distributed as dist
+
+        calls = {}
+
+        def fake_barrier(name, timeout_s=1200.0):
+            calls["name"] = name
+            calls["timeout_s"] = timeout_s
+            if raise_exc:
+                raise TimeoutError("barrier timed out")
+
+        monkeypatch.setattr(dist, "barrier", fake_barrier)
+        return calls
+
+    def test_clean_exit_uses_long_timeout(self, monkeypatch):
+        from ssad_tpu.cli import _train_multi_exit_barrier
+
+        calls = self._patch(monkeypatch, raise_exc=False)
+        _train_multi_exit_barrier(failing=False)
+        assert calls["timeout_s"] == 1200.0
+
+    def test_failing_exit_short_timeout_and_swallows(self, monkeypatch, capsys):
+        from ssad_tpu.cli import _train_multi_exit_barrier
+
+        calls = self._patch(monkeypatch, raise_exc=True)
+        # must NOT raise: a raise-in-finally would replace the original
+        # controller traceback with the barrier's timeout
+        _train_multi_exit_barrier(failing=True)
+        assert calls["timeout_s"] == 30.0
+        assert "exit barrier skipped" in capsys.readouterr().err
+
+    def test_clean_exit_barrier_failure_still_raises(self, monkeypatch):
+        from ssad_tpu.cli import _train_multi_exit_barrier
+
+        self._patch(monkeypatch, raise_exc=True)
+        with pytest.raises(TimeoutError):
+            _train_multi_exit_barrier(failing=False)
+
+
 class TestProfileCommand:
     def test_trace_written(self, fake_mvtec, tmp_path, capsys):
         rc = main([
