@@ -107,24 +107,50 @@ def _cost(compiled) -> dict:
         return {"flops": None, "bytes": None}
 
 
-def _timeit(fn, iters: int, *args, rounds: int = 4) -> float:
-    """Best mean seconds per call over several rounds.
+def _sync(out) -> None:
+    """Force a scalar readback (block_until_ready alone under-reports
+    on the tunneled backend)."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    float(jnp.sum(leaf.astype(jnp.float32)) if leaf.ndim else leaf)
 
-    The tunneled backend warms per program hash across repeated
-    encounters (a cold program can read 100× slow), so a single round
-    under-reports steady state; run rounds until the best stabilizes.
-    A scalar readback forces the sync (block_until_ready alone
-    under-reports on this backend).
+
+def _warm(fn, *args, max_calls: int = 64, budget_s: float = 300.0) -> None:
+    """Warm a program with SINGLE synced calls until call time
+    stabilizes (last call ≤ 1.5× the best seen), capped by calls and
+    wall clock.
+
+    The tunneled backend warms per program hash over ~dozens of calls
+    (observed 10 s → 26 ms on the same step fn).  Without this, the
+    first timing round of `iters` calls pays the whole warm-up serially
+    — round 5 measured 13+ minutes for ONE section's first round on a
+    cold day.  Single calls reach steady state in the same ~dozens of
+    calls at a fraction of the wall clock, and the timing rounds below
+    still take the best-over-rounds, so the published number is
+    unchanged on a warm chip (validated: warm-run numbers reproduce).
     """
-    out = fn(*args)
-    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    best = float("inf")
+    for _ in range(max_calls):
+        c0 = time.perf_counter()
+        _sync(fn(*args))
+        c = time.perf_counter() - c0
+        best = min(best, c)
+        if c <= best * 1.5 and c < 1.0:
+            return
+        if time.perf_counter() - t0 > budget_s:
+            return
+
+
+def _timeit(fn, iters: int, *args, rounds: int = 4) -> float:
+    """Best mean seconds per call over several rounds (after adaptive
+    single-call warm-up; see _warm)."""
+    _warm(fn, *args)
     best = float("inf")
     for r in range(rounds):
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fn(*args)
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        float(jnp.sum(leaf.astype(jnp.float32)) if leaf.ndim else leaf)
+        _sync(out)
         dt = (time.perf_counter() - t0) / iters
         if dt > best * 0.95 and r >= 1:
             return min(best, dt)
@@ -482,19 +508,31 @@ def main() -> None:
     }
     skipped: list = []
 
+    section_s: dict = {}
+    record["section_s"] = section_s  # wall clock per section (warm-up
+    # included) — the diagnostic for tuning budgets/timeouts
+
     def emit() -> None:
         record["elapsed_s"] = round(time.monotonic() - t0, 1)
         print(json.dumps(record), flush=True)
 
+    def timed(name: str, fn):
+        s0 = time.monotonic()
+        out = fn()
+        section_s[name] = round(time.monotonic() - s0, 1)
+        return out
+
     # ---- core trio: each flushes its own complete line the moment it
     # lands, so a driver timeout keeps everything measured so far ----
-    images_per_sec = bench_synthesis(rng, h, w, batch, n_images)
+    images_per_sec = timed(
+        "synthesis", lambda: bench_synthesis(rng, h, w, batch, n_images)
+    )
     record["value"] = round(images_per_sec, 1)
     record["vs_baseline"] = round(images_per_sec / BASELINE_IMAGES_PER_SEC, 3)
     emit()
 
-    step_ms, train_ips, mfu, train_roofline = bench_train_step(
-        rng, h, w, batch, n_images
+    step_ms, train_ips, mfu, train_roofline = timed(
+        "train_step", lambda: bench_train_step(rng, h, w, batch, n_images)
     )
     record["train_step_ms"] = round(step_ms, 2)
     record["train_images_per_sec"] = round(train_ips, 1)
@@ -502,7 +540,9 @@ def main() -> None:
     record["train_roofline"] = train_roofline
     emit()
 
-    patch_ms, roofline = bench_patch_scoring(rng, h, w)
+    patch_ms, roofline = timed(
+        "patch_scoring", lambda: bench_patch_scoring(rng, h, w)
+    )
     record["patch_score_ms_per_image"] = round(patch_ms, 3)
     record["patch_roofline"] = roofline
     emit()
@@ -517,7 +557,7 @@ def main() -> None:
             skipped.append(name)
         else:
             try:
-                fn()
+                timed(name, fn)
             except Exception as e:  # never sink the artifact
                 record.setdefault("section_errors", {})[name] = repr(e)[:200]
         emit()
