@@ -187,7 +187,12 @@ def bench_synthesis(rng, h, w, batch, n_images) -> float:
         s, _ = step(key)
         return s
 
-    dt = _timeit(run, 50, jax.random.key(1))
+    # 25 iters/round: plenty above timer resolution at steady state
+    # (~6.4 ms/call → 160 ms/round) and half the cost of a round while
+    # the tunnel is still warming this program (observed re-cooling
+    # after ~1.5 h idle: a cold-ish round at seconds/call dominates the
+    # whole bench's wall clock)
+    dt = _timeit(run, 25, jax.random.key(1))
     return batch / dt
 
 
